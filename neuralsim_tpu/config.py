@@ -1,0 +1,408 @@
+"""Typed configuration tree for the whole pipeline.
+
+One config system instead of the reference's two uncoordinated ones (the
+configargparse namespace of ``optimization/neural_sim_main.py:1215-1360`` and
+the detectron2 CfgNode hard-coded in ``Detector.__init__``,
+``optimization/neural_sim_main.py:594-622``). The reference's txt config
+format and flag names remain ingestible for entry-point parity
+(``parse_reference_config`` / ``config_from_flags``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shlex
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+# --------------------------------------------------------------------------- #
+# Renderer / NeRF
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class NeRFNetConfig:
+    """NeRF MLP architecture (reference run_nerf_helpers.py:70-122)."""
+
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    skips: Tuple[int, ...] = (4,)
+    multires: int = 10          # xyz positional-encoding frequencies -> 63 ch
+    multires_views: int = 4     # viewdir encoding frequencies -> 27 ch
+    i_embed: int = 0            # 0 = positional encoding, -1 = identity
+    use_viewdirs: bool = True
+
+    @property
+    def input_ch(self) -> int:
+        if self.i_embed == -1:
+            return 3
+        return 3 + 3 * 2 * self.multires
+
+    @property
+    def input_ch_views(self) -> int:
+        if not self.use_viewdirs:
+            return 0
+        if self.i_embed == -1:
+            return 3
+        return 3 + 3 * 2 * self.multires_views
+
+    @property
+    def output_ch(self) -> int:
+        # reference run_nerf_noscale.py:267 (5 if N_importance else 4); the
+        # extra channel is unused by the viewdir head, kept for ckpt parity.
+        return 4
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Volume-rendering options (reference render_rays, run_nerf_noscale.py:390-501)."""
+
+    n_samples: int = 64         # coarse samples/ray
+    n_importance: int = 128     # fine importance samples/ray
+    perturb: bool = True        # stratified jitter (off for test renders)
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    ndc: bool = False
+    ray_chunk: int = 8192       # rays per lax.map tile (static shape)
+    compute_dtype: str = "float32"   # "bfloat16" = MXU fast path
+    # rematerialize per-tile activations in reverse-mode grads; without this
+    # the backward pass materializes every MLP residual for every tile
+    # (~31 GB for 2x20k-ray tiles at 64+192 samples) and OOMs HBM
+    remat: bool = False
+    near: float = 0.3103964843749999   # pipeline default: info.near - 0.5
+    far: float = 1.9297681884765627    # pipeline default: info.far + 0.5
+
+    def test_mode(self) -> "RenderConfig":
+        """No jitter, no noise — reference render_kwargs_test (run_nerf_noscale.py:336-338)."""
+        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics (reference load_data_param, load_LINEMOD_noscale.py:166-199)."""
+
+    height: int = 100
+    width: int = 100
+    focal: float = 1333.3333740234375 / 4.0
+    # full 3x3 K; defaults follow logs/nerfdata/nerf_traindata_info.json / 4
+    fx: float = 1333.3333740234375 / 4.0
+    fy: float = 1334.2196044921875 / 4.0
+    cx: float = 195.4293212890625 / 4.0
+    cy: float = 200.63180541992188 / 4.0
+
+    @property
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+# --------------------------------------------------------------------------- #
+# Pose-distribution sampler (psi)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Gumbel-softmax pose sampler (reference load_LINEMOD_noscale.py:202-328)."""
+
+    n_bins: int = 8
+    bin_width_deg: float = 45.0
+    bin_offset_deg: float = 22.5
+    gumbel_temperature: float = 0.1     # --gumble_T
+    softmax_temperature: float = 0.25   # fixed temp for psi->probs (neural_sim_main.py:85)
+    theta_low_deg: float = 85.0
+    theta_high_deg: float = 95.0
+    radius: float = 1.01
+    n_samples_k: int = 50               # --n_samples_K images per outer iter
+
+
+# --------------------------------------------------------------------------- #
+# Detector
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """RetinaNet-R50-FPN inner-loop settings (reference neural_sim_main.py:594-622)."""
+
+    num_classes: int = 6
+    images_per_batch: int = 8
+    base_lr: float = 2.5e-4
+    max_iter: int = 50
+    warmup_iters: int = 10
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    freeze_backbone: bool = True        # FREEZE_AT=6 — whole ResNet frozen
+    # RetinaNet head/anchor parameters (detectron2 retinanet_R_50_FPN_3x defaults)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 0.1
+    iou_fg_threshold: float = 0.5
+    iou_bg_threshold: float = 0.4
+    score_threshold: float = 0.05
+    nms_threshold: float = 0.5
+    topk_per_level: int = 1000
+    max_detections: int = 100
+    image_size: int = 128               # model input side (square pad/resize)
+    pretrain: bool = False
+    pretrain_weight: Optional[str] = None
+
+
+# --------------------------------------------------------------------------- #
+# Bilevel outer loop
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class BilevelConfig:
+    """Outer-loop optimizer for psi (reference neural_sim_main.py:1144-1212)."""
+
+    n_epochs: int = 50
+    opt_lr: float = 5e-5
+    opt_method: str = "momentum"        # sgd | momentum | Adam
+    psi_pose_cats_mode: str = "5"       # 1~8 | uniform | two_13 | two_27 | three_123 | three_147
+    optimization: bool = True
+    # inverse-HVP solver: "onestep" reproduces the reference's live path
+    # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" is the real CG
+    # solver the reference left dead; "neumann" = 2v - Hv; "identity" = v.
+    ihvp_solver: str = "onestep"
+    ihvp_damping: float = 1e-2
+    cg_iters: int = 10
+    grad_e_max_images: int = 100        # reference cap (neural_sim_main.py:876)
+
+
+# --------------------------------------------------------------------------- #
+# Data / experiment
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    basedir: str = "./logs"
+    datadir: str = "./logs/nerfdata"
+    expname: str = "exp_ycb_synthetic"
+    object_id: str = "2"
+    dataset_type: str = "LINEMOD"
+    half_res: bool = True
+    testskip: int = 0
+    train_val_path_info: str = "./configs/ycb_synthetic_train_val_path_info.json"
+    test_distribution: str = "one_1"
+    ft_path: Optional[str] = None
+    white_bkgd: bool = False
+    render_factor: int = 0
+    # keep rendered tensors on device end-to-end; when True also write PNGs
+    # (the reference always round-trips through 8-bit PNGs,
+    # run_nerf_noscale.py:245-250 -> dataset_mapper re-read)
+    save_pngs: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Standalone NeRF training (reference run_nerf_noscale.py:503-791)."""
+
+    n_iters: int = 200000
+    n_rand: int = 1024
+    lrate: float = 5e-4
+    lrate_decay: int = 500              # exponential decay, in 1000s of steps
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    no_batching: bool = True
+    i_print: int = 100
+    i_weights: int = 10000
+    i_testset: int = 50000
+    i_video: int = 50000
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. data axis shards rays/images; model axis is an
+    optional TP axis for wide layers (low priority for the 256-wide MLP)."""
+
+    data_axis: int = -1                 # -1: all devices on data axis
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class NeuralSimConfig:
+    net: NeRFNetConfig = field(default_factory=NeRFNetConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    bilevel: BilevelConfig = field(default_factory=BilevelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "NeuralSimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------- #
+# Reference txt-config ingestion
+# --------------------------------------------------------------------------- #
+
+
+def parse_reference_config(path: str) -> dict:
+    """Parse the reference's configargparse txt format (``key = value`` lines,
+    ``#`` comments — e.g. configs/nerf_param_ycbv_general.txt)."""
+    out: dict = {}
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = (s.strip() for s in line.split("=", 1))
+            out[key] = _coerce(val)
+    return out
+
+
+def _coerce(val: str):
+    low = val.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    try:
+        return int(val)
+    except ValueError:
+        pass
+    try:
+        return float(val)
+    except ValueError:
+        pass
+    return val
+
+
+# flag-name -> (section, field) mapping for the reference CLI surface
+# (reference config_parser, neural_sim_main.py:1215-1360)
+_FLAG_MAP = {
+    "basedir": ("data", "basedir"),
+    "datadir": ("data", "datadir"),
+    "expname": ("data", "expname"),
+    "object_id": ("data", "object_id"),
+    "dataset_type": ("data", "dataset_type"),
+    "half_res": ("data", "half_res"),
+    "testskip": ("data", "testskip"),
+    "train_val_path_info": ("data", "train_val_path_info"),
+    "test_distribution": ("data", "test_distribution"),
+    "ft_path": ("data", "ft_path"),
+    "white_bkgd": ("data", "white_bkgd"),
+    "render_factor": ("data", "render_factor"),
+    "netdepth": ("net", "netdepth"),
+    "netwidth": ("net", "netwidth"),
+    "netdepth_fine": ("net", "netdepth_fine"),
+    "netwidth_fine": ("net", "netwidth_fine"),
+    "multires": ("net", "multires"),
+    "multires_views": ("net", "multires_views"),
+    "i_embed": ("net", "i_embed"),
+    "use_viewdirs": ("net", "use_viewdirs"),
+    "N_samples": ("render", "n_samples"),
+    "N_importance": ("render", "n_importance"),
+    "perturb": ("render", "perturb"),
+    "raw_noise_std": ("render", "raw_noise_std"),
+    "lindisp": ("render", "lindisp"),
+    "chunk": ("render", "ray_chunk"),
+    "N_rand": ("train", "n_rand"),
+    "lrate": ("train", "lrate"),
+    "lrate_decay": ("train", "lrate_decay"),
+    "precrop_iters": ("train", "precrop_iters"),
+    "precrop_frac": ("train", "precrop_frac"),
+    "no_batching": ("train", "no_batching"),
+    "i_print": ("train", "i_print"),
+    "i_weights": ("train", "i_weights"),
+    "i_testset": ("train", "i_testset"),
+    "i_video": ("train", "i_video"),
+    "n_samples_K": ("sampler", "n_samples_k"),
+    "gumble_T": ("sampler", "gumbel_temperature"),
+    "n_epochs": ("bilevel", "n_epochs"),
+    "opt_lr": ("bilevel", "opt_lr"),
+    "opt_method": ("bilevel", "opt_method"),
+    "psi_pose_cats_mode": ("bilevel", "psi_pose_cats_mode"),
+    "optimization": ("bilevel", "optimization"),
+    "pretrain": ("detector", "pretrain"),
+    "pretrain_weight": ("detector", "pretrain_weight"),
+}
+
+# flags the reference accepts but that have no effect on this implementation
+# (llff/deepvoxels paths, netchunk-style serial chunking, tensorboard cadence)
+_IGNORED_FLAGS = {
+    "config", "netchunk", "no_reload", "render_only", "render_test",
+    "shape", "factor", "no_ndc", "spherify", "llffhold", "i_img",
+}
+
+
+def config_from_flags(flags: dict, base: Optional[NeuralSimConfig] = None) -> NeuralSimConfig:
+    """Build a NeuralSimConfig from a dict of reference-style flag values."""
+    cfg = base or NeuralSimConfig()
+    sections = {
+        "net": dict(), "render": dict(), "camera": dict(), "sampler": dict(),
+        "detector": dict(), "bilevel": dict(), "data": dict(), "train": dict(),
+    }
+    for key, val in flags.items():
+        if key in _IGNORED_FLAGS:
+            continue
+        if key not in _FLAG_MAP:
+            raise KeyError(f"unknown flag: --{key}")
+        sec, fieldname = _FLAG_MAP[key]
+        if key == "perturb":            # reference uses float 0/1
+            val = bool(val)
+        if key in ("optimization", "pretrain"):
+            val = bool(val)
+        if key in ("object_id", "psi_pose_cats_mode"):
+            val = str(val)
+        sections[sec][fieldname] = val
+    return dataclasses.replace(
+        cfg,
+        **{
+            name: dataclasses.replace(getattr(cfg, name), **vals)
+            for name, vals in sections.items()
+            if vals
+        },
+    )
+
+
+def load_config(config_path: Optional[str] = None, overrides: Optional[dict] = None) -> NeuralSimConfig:
+    """txt config + CLI overrides, reference precedence (CLI > file > defaults)."""
+    flags: dict = {}
+    if config_path:
+        flags.update(parse_reference_config(config_path))
+    if overrides:
+        flags.update(overrides)
+    return config_from_flags(flags)
+
+
+def parse_cli(argv=None) -> NeuralSimConfig:
+    """Reference-compatible CLI: ``--config file.txt`` + ``--flag value`` pairs."""
+    import argparse
+
+    parser = argparse.ArgumentParser("neuralsim_tpu")
+    parser.add_argument("--config", type=str, default=None)
+    known, rest = parser.parse_known_args(argv)
+    overrides: dict = {}
+    it = iter(rest)
+    for tok in it:
+        if not tok.startswith("--"):
+            raise SystemExit(f"unexpected argument {tok!r}")
+        key = tok[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+            overrides[key] = _coerce(val)
+            continue
+        # reference store_true flags
+        if key in ("no_batching", "use_viewdirs", "white_bkgd", "half_res",
+                   "lindisp", "no_reload", "render_only", "render_test",
+                   "no_ndc", "spherify"):
+            overrides[key] = True
+            continue
+        overrides[key] = _coerce(next(it))
+    return load_config(known.config, overrides)

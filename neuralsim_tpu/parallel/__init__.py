@@ -1,0 +1,8 @@
+from neuralsim_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_rays,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "replicate", "shard_rays", "shard_batch"]

@@ -1,0 +1,36 @@
+"""Test config: hermetic CPU runs with a virtual 8-device mesh.
+
+This is the TPU answer to "test multi-chip without a cluster"
+(SURVEY.md §4): XLA exposes N host devices so every sharding/pjit test
+exercises real partitioning + collectives.
+
+NOTE: this environment's sitecustomize imports jax and latches
+``jax_platforms`` before pytest starts, so the env var alone is not enough —
+we must also flip the live config.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", "tests must run on the host CPU"
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
