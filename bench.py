@@ -45,15 +45,22 @@ def main():
 
     fn = jax.jit(lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
 
+    def run_sync():
+        out = fn(models, poses)
+        # some PJRT transports complete block_until_ready before execution
+        # finishes; a host transfer of one element is a true barrier
+        np.asarray(out[0, 0, 0])
+        return out
+
     # warmup/compile
-    out = jax.block_until_ready(fn(models, poses))
+    out = run_sync()
     assert np.isfinite(np.asarray(out)).all()
 
     n_rays = n_poses * H * W
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(models, poses))
+        run_sync()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     rays_per_sec = n_rays / dt

@@ -1,0 +1,49 @@
+"""Feature Pyramid Network P3-P7 for RetinaNet (Flax).
+
+Lateral 1x1 + top-down nearest-2x + output 3x3 over (C3, C4, C5), with the
+RetinaNet extra levels: P6 = 3x3/s2 on C5, P7 = 3x3/s2 on relu(P6) —
+matching detectron2's ``LastLevelP6P7(in_feature="res5")`` used by the
+reference's retinanet_R_50_FPN_3x config (``neural_sim_main.py:598``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _upsample_nearest_2x(x):
+    n, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+    ).reshape(n, 2 * h, 2 * w, c)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c3, c4, c5) -> List[jnp.ndarray]:
+        l5 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="lateral5")(c5)
+        l4 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="lateral4")(c4)
+        l3 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="lateral3")(c3)
+
+        t4 = l4 + _upsample_nearest_2x(l5)
+        t3 = l3 + _upsample_nearest_2x(t4)
+
+        p5 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="output5")(l5)
+        p4 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="output4")(t4)
+        p3 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="output3")(t3)
+
+        p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="p6")(c5)
+        p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="p7")(nn.relu(p6))
+        return [p3, p4, p5, p6, p7]
