@@ -116,21 +116,39 @@ class BilevelDriver:
     def _inner_train_impl(self, det_state, batches: DetBatch):
         return inner_train(det_state, batches, self.cfg.detector, self.anchors_cat)
 
-    def _det_loss(self, params, batch: DetBatch):
+    def _det_loss_full(self, params, batch: DetBatch):
         total, _ = retinanet_loss(
             self.det_apply, params, batch, self.anchors_cat, self.cfg.detector
         )
         return total
 
+    def _det_loss_trainable(self, trainable, frozen, batch: DetBatch):
+        """Loss as a function of the TRAINABLE subtree only — theta for every
+        hypergradient quantity matches the reference's optimizer param_groups
+        (frozen backbone excluded, gradients still flow through its
+        activations to the image)."""
+        from neuralsim_tpu.detector.trainer import merge_params
+
+        return self._det_loss_full(merge_params(trainable, frozen), batch)
+
     def _val_grad_impl(self, params):
+        from neuralsim_tpu.detector.trainer import split_trainable
+
         v = self.val_data
         batch = DetBatch(v.images, v.gt_boxes, v.gt_labels, v.gt_valid)
-        return jax.grad(self._det_loss)(params, batch)
+        trainable, frozen = split_trainable(params, self.cfg.detector)
+        return jax.grad(
+            lambda tp: self._det_loss_trainable(tp, frozen, batch)
+        )(trainable)
 
     def _ihvp_impl(self, params, batch: DetBatch, v):
+        from neuralsim_tpu.detector.trainer import split_trainable
+
         bc = self.cfg.bilevel
+        trainable, frozen = split_trainable(params, self.cfg.detector)
+        loss_fn = lambda tp, b: self._det_loss_trainable(tp, frozen, b)
         return inverse_hvp(
-            self._det_loss, params, batch, v,
+            loss_fn, trainable, batch, v,
             method=bc.ihvp_solver, damping=bc.ihvp_damping, cg_iters=bc.cg_iters,
         )
 
@@ -138,22 +156,20 @@ class BilevelDriver:
         """grad_E per rendered image, w.r.t. the raw render (differentiating
         through normalization/padding — the reference's PNG quantize step is
         treated as identity there; here there is no quantize step at all)."""
+        from neuralsim_tpu.detector.trainer import split_trainable
 
-        def loss_one(p, render_rgb):
-            img = prepare_images(render_rgb[None], self.cfg.detector)
-            batch = DetBatch(img, gt_boxes[None, 0], gt_labels[None, 0], gt_valid[None, 0])
-            return self._det_loss(p, batch)
+        trainable, frozen = split_trainable(params, self.cfg.detector)
 
         def per_image(args):
             render_rgb, boxes, labels, valid = args
 
-            def loss_img(p, r):
+            def loss_img(tp, r):
                 img = prepare_images(r[None], self.cfg.detector)
                 batch = DetBatch(img, boxes[None], labels[None], valid[None])
-                return self._det_loss(p, batch)
+                return self._det_loss_trainable(tp, frozen, batch)
 
             return mixed_grad_wrt_images(
-                loss_img, params, render_rgb[None], v
+                loss_img, trainable, render_rgb[None], v
             )[0]
 
         return jax.lax.map(per_image, (renders, gt_boxes, gt_labels, gt_valid))

@@ -38,9 +38,24 @@ class DetectorState(NamedTuple):
 
 def make_detector_apply(dc: DetectorConfig):
     """Returns (module, apply_fn(params, images))."""
-    model = RetinaNet(num_classes=dc.num_classes,
-                      freeze_backbone=dc.freeze_backbone)
+    model = RetinaNet(num_classes=dc.num_classes)
     return model, lambda params, images: model.apply({"params": params}, images)
+
+
+def split_trainable(params: dict, dc: DetectorConfig):
+    """Partition params into (trainable, frozen) — FREEZE_AT=6 freezes the
+    whole ResNet, FPN+head stay trainable. The trainable subtree is exactly
+    the parameter set the reference's optimizer param_groups hold, which is
+    also the theta of every hypergradient quantity (v, Hv, mixed partials)."""
+    if not dc.freeze_backbone:
+        return dict(params), {}
+    trainable = {k: v for k, v in params.items() if k != "backbone"}
+    frozen = {"backbone": params["backbone"]}
+    return trainable, frozen
+
+
+def merge_params(trainable: dict, frozen: dict) -> dict:
+    return {**trainable, **frozen}
 
 
 def make_detector_optimizer(dc: DetectorConfig) -> optax.GradientTransformation:
@@ -60,9 +75,10 @@ def make_detector_optimizer(dc: DetectorConfig) -> optax.GradientTransformation:
 def init_detector(key, dc: DetectorConfig) -> DetectorState:
     model, _ = make_detector_apply(dc)
     dummy = jnp.zeros((1, dc.image_size, dc.image_size, 3))
-    params = model.init(key, dummy)["params"]
+    params = dict(model.init(key, dummy)["params"])
     opt = make_detector_optimizer(dc)
-    return DetectorState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    trainable, _ = split_trainable(params, dc)
+    return DetectorState(params, opt.init(trainable), jnp.zeros((), jnp.int32))
 
 
 def detector_loss_fn(params, batch: DetBatch, dc: DetectorConfig, anchors_cat):
@@ -77,16 +93,18 @@ def train_step(state: DetectorState, batch: DetBatch, dc: DetectorConfig,
                anchors_cat):
     opt = make_detector_optimizer(dc)
     _, apply_fn = make_detector_apply(dc)
+    trainable, frozen = split_trainable(state.params, dc)
 
-    def loss_fn(params):
-        return retinanet_loss(apply_fn, params, batch, anchors_cat, dc)
+    def loss_fn(tp):
+        return retinanet_loss(
+            apply_fn, merge_params(tp, frozen), batch, anchors_cat, dc
+        )
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    updates, opt_state = opt.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return DetectorState(params, opt_state, state.step + 1), {
-        "loss": total, **losses
-    }
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+    updates, opt_state = opt.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return DetectorState(merge_params(trainable, frozen), opt_state,
+                         state.step + 1), {"loss": total, **losses}
 
 
 def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,

@@ -48,9 +48,10 @@ def grad_loss(loss_fn: Callable, params, batches) -> "jax.Array":
     accumulates .grad over the whole val loader, :948-975).
 
     ``batches`` is a pytree whose leaves have a leading batch-of-batches dim,
-    scanned on-device; or a python list (host loop)."""
+    scanned on-device; or a python LIST of batches (host loop — tuples are
+    treated as pytrees, not sequences)."""
     g_fn = jax.grad(loss_fn)
-    if isinstance(batches, (list, tuple)):
+    if isinstance(batches, list):
         total = None
         for b in batches:
             g = g_fn(params, b)

@@ -105,18 +105,20 @@ class RetinaNetHead(nn.Module):
 
 class RetinaNet(nn.Module):
     num_classes: int = 6
-    freeze_backbone: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images):
         """images: [N, H, W, 3] normalized. Returns (logits [N,A,C],
-        deltas [N,A,4]) over all pyramid anchors."""
+        deltas [N,A,4]) over all pyramid anchors.
+
+        Backbone freezing (FREEZE_AT=6, reference neural_sim_main.py:617) is
+        a PARAMETER-side concern handled by the trainer's param partition
+        (detector.trainer.split_trainable) — NOT a stop_gradient on
+        activations, because the hypergradient's d(loss)/d(image) must flow
+        through the frozen backbone exactly as torch's requires_grad=False
+        weights still propagate input gradients."""
         c3, c4, c5 = ResNet50(dtype=self.dtype, name="backbone")(images)
-        if self.freeze_backbone:
-            # FREEZE_AT=6 semantics (reference neural_sim_main.py:617):
-            # no gradient reaches any backbone parameter
-            c3, c4, c5 = (jax.lax.stop_gradient(c) for c in (c3, c4, c5))
         feats = FPN(dtype=self.dtype, name="fpn")(c3, c4, c5)
         return RetinaNetHead(self.num_classes, dtype=self.dtype, name="head")(feats)
 

@@ -1,0 +1,125 @@
+"""Pipeline facade: the reference's application-level ``NeRF`` class
+(``optimization/neural_sim_main.py:41-191``) re-imagined.
+
+``NeuralSimRenderer`` loads camera intrinsics from
+``nerf_traindata_info.json`` (with the pipeline's half_res ÷4 behavior),
+loads/initializes the pretrained NeRF pair (torch ``.tar`` converter or
+``.npz``), and exposes:
+
+  - ``render_images(psi, key)``  -> (images [K,H,W,3], noise) — the no-grad
+    forward sampling+render pass (reference render_images :78-133)
+  - ``render_images_grad(psi, noise, grad_E)`` -> dL/dpsi — the reference's
+    replayed differentiable render (render_images_grad :134-191), which here
+    shares ALL code with the forward pass (same noise pytree in, jax.grad
+    around it) instead of a hand-maintained twin path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsim_tpu.config import NeuralSimConfig
+from neuralsim_tpu.data.blender import load_data_param
+from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_fwd, render_grad_psi_rev
+from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+from neuralsim_tpu.ops.render import render_poses, to8b
+from neuralsim_tpu.sampler.poses import (
+    PoseNoise,
+    draw_pose_noise,
+    poses_from_noise,
+    psi_to_probs,
+)
+
+
+class NeuralSimRenderer:
+    def __init__(self, cfg: NeuralSimConfig, models=None, key=None):
+        self.cfg = cfg
+        self.rc = cfg.render.test_mode()
+
+        # camera from the pipeline info json when present, else cfg defaults
+        info = os.path.join(cfg.data.datadir, "nerf_traindata_info.json")
+        if os.path.exists(info):
+            cam = load_data_param(cfg.data.datadir, cfg.data.half_res)
+            self.H, self.W, self.K = cam.height, cam.width, cam.K
+            import dataclasses
+
+            self.rc = dataclasses.replace(self.rc, near=cam.near, far=cam.far)
+        else:
+            self.H, self.W, self.K = cfg.camera.height, cfg.camera.width, cfg.camera.K
+
+        if models is not None:
+            self.models = models
+        else:
+            self.models = self._load_models(key or jax.random.PRNGKey(cfg.seed))
+
+        self._render_fn = jax.jit(self._render_impl)
+
+    def _load_models(self, key):
+        cfg = self.cfg
+        # reference pins ft_path to logs/nerf_models/ycbvid{id}.tar (:66)
+        candidates = []
+        if cfg.data.ft_path:
+            candidates.append(cfg.data.ft_path)
+        candidates.append(os.path.join(
+            cfg.data.basedir, "nerf_models", f"ycbvid{cfg.data.object_id}.tar"
+        ))
+        candidates.append(os.path.join(
+            cfg.data.basedir, "nerf_models", f"ycbvid{cfg.data.object_id}.npz"
+        ))
+        for path in candidates:
+            if path and os.path.exists(path):
+                if path.endswith(".npz"):
+                    from neuralsim_tpu.data.convert_torch import load_params_npz
+
+                    models = load_params_npz(path)
+                else:
+                    from neuralsim_tpu.data.convert_torch import load_nerf_checkpoint
+
+                    models, _ = load_nerf_checkpoint(path)
+                return jax.tree_util.tree_map(jnp.asarray, models)
+        # no checkpoint available: random init (tests / from-scratch training)
+        return init_nerf_pipeline_params(key, cfg.net, cfg.render.n_importance)
+
+    def _render_impl(self, psi, noise: PoseNoise):
+        probs = psi_to_probs(psi, self.cfg.sampler)
+        poses = poses_from_noise(probs, noise, self.cfg.sampler)
+        out = render_poses(
+            self.models, poses, self.H, self.W, self.K, None,
+            self.cfg.net, self.rc,
+        )
+        return out["rgb_map"], out["disp_map"], out["acc_map"]
+
+    # ------------------------------------------------------------------ #
+
+    def render_images(self, psi, key, num_k: Optional[int] = None,
+                      savedir: Optional[str] = None) -> Tuple[jnp.ndarray, PoseNoise]:
+        """Sample K poses from psi and render; optionally dump PNGs under
+        ``savedir/{object_id}/{i:03d}.png`` (the reference's on-disk layout,
+        run_nerf_noscale.py:245-250)."""
+        noise = draw_pose_noise(key, self.cfg.sampler, num_k)
+        rgb, _, _ = self._render_fn(psi, noise)
+        if savedir:
+            out = os.path.join(savedir, str(self.cfg.data.object_id))
+            os.makedirs(out, exist_ok=True)
+            import imageio.v2 as imageio
+
+            arr = np.asarray(rgb)
+            for i in range(arr.shape[0]):
+                imageio.imwrite(os.path.join(out, f"{i:03d}.png"), to8b(arr[i]))
+        return rgb, noise
+
+    def render_images_grad(self, psi, noise: PoseNoise, grad_E,
+                           mode: str = "rev") -> jnp.ndarray:
+        """Mean dL/dpsi with grad_E as the rgb cotangent (reference returns
+        torch.mean of per-chunk dLdpsi, neural_sim_main.py:191)."""
+        n = grad_E.shape[0]
+        noise_n = jax.tree_util.tree_map(lambda x: x[:n], noise)
+        fn = render_grad_psi_rev if mode == "rev" else render_grad_psi_fwd
+        return fn(self.models, psi, noise_n, jnp.asarray(grad_E),
+                  self.H, self.W, self.K, self.cfg.net, self.rc,
+                  self.cfg.sampler)

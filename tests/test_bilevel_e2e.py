@@ -1,0 +1,122 @@
+"""End-to-end bilevel smoke test: tiny NeRF + tiny detector, one full epoch
+including the hypergradient chain. This is the integration test the
+reference never had (SURVEY.md §4) — a stub-scale version of
+bilevel_optimization (neural_sim_main.py:1144-1212)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsim_tpu.config import (
+    BilevelConfig,
+    CameraConfig,
+    DetectorConfig,
+    NeRFNetConfig,
+    NeuralSimConfig,
+    RenderConfig,
+    SamplerConfig,
+)
+from neuralsim_tpu.bilevel.driver import BilevelDriver, ValData
+from neuralsim_tpu.detector.dataset import build_detector_batches
+from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+
+
+def tiny_cfg():
+    return NeuralSimConfig(
+        net=NeRFNetConfig(netdepth=2, netwidth=16, netdepth_fine=2,
+                          netwidth_fine=16, skips=(0,), multires=2,
+                          multires_views=1),
+        render=RenderConfig(n_samples=4, n_importance=4, ray_chunk=1024,
+                            near=0.5, far=2.0),
+        camera=CameraConfig(height=32, width=32, focal=40.0, fx=40.0, fy=40.0,
+                            cx=16.0, cy=16.0),
+        sampler=SamplerConfig(n_samples_k=3),
+        detector=DetectorConfig(num_classes=2, image_size=32, max_iter=2,
+                                images_per_batch=2, warmup_iters=1),
+        bilevel=BilevelConfig(n_epochs=1, opt_lr=1e-3, opt_method="momentum",
+                              psi_pose_cats_mode="uniform",
+                              ihvp_solver="onestep", grad_e_max_images=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def driver():
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    nerf_models = init_nerf_pipeline_params(key, cfg.net, cfg.render.n_importance)
+
+    # tiny val set: 2 synthetic images with objects
+    rng = np.random.RandomState(1)
+    val_imgs = np.zeros((2, 32, 32, 3), np.float32)
+    val_imgs[0, 8:20, 8:20] = 0.9
+    val_imgs[1, 12:28, 4:16] = 0.7
+    images, boxes, labels, valid = build_detector_batches(
+        val_imgs, [0, 1], cfg.detector
+    )
+    val = ValData(images, boxes, labels, valid)
+    import tempfile
+
+    return BilevelDriver(cfg, nerf_models, val, key=key, object_class=0,
+                         output_dir=tempfile.mkdtemp())
+
+
+def test_one_epoch_with_optimization(driver):
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    cfg = driver.cfg
+    psi0 = psi_init(cfg.bilevel.psi_pose_cats_mode)
+    psi_opt = psi_optimizer_init(cfg.bilevel.opt_method, cfg.bilevel.opt_lr)
+    det = init_detector(jax.random.PRNGKey(2), cfg.detector)
+
+    record = driver.run_epoch(0, psi0, psi_opt, det, save_pngs=False)
+
+    assert np.isfinite(record["inner_loss"])
+    assert "AP" in record["map"]
+    g = record["grad_psi"]
+    assert g.shape == (8,)
+    assert np.isfinite(g).all()
+    # psi actually moved
+    assert not np.allclose(np.asarray(record["psi"]), np.asarray(psi0))
+    # probabilities stay a simplex
+    np.testing.assert_allclose(record["psi_probs"].sum(), 1.0, rtol=1e-5)
+
+
+def test_epoch_without_optimization(driver):
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    cfg = dataclasses.replace(
+        driver.cfg,
+        bilevel=dataclasses.replace(driver.cfg.bilevel, optimization=False),
+    )
+    drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                        key=jax.random.PRNGKey(3), object_class=0,
+                        output_dir=driver.output_dir)
+    psi0 = psi_init("uniform")
+    psi_opt = psi_optimizer_init("sgd", 1e-3)
+    det = init_detector(jax.random.PRNGKey(4), cfg.detector)
+    record = drv.run_epoch(0, psi0, psi_opt, det, save_pngs=False)
+    np.testing.assert_array_equal(np.asarray(record["psi"]), np.asarray(psi0))
+
+
+def test_detector_warm_start_chains(driver):
+    """Epoch 2 must start from epoch 1's detector params (reference
+    warm-start via model_final.pth, neural_sim_main.py:840-841)."""
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    psi = psi_init("uniform")
+    psi_opt = psi_optimizer_init("sgd", 1e-3)
+    det0 = init_detector(jax.random.PRNGKey(5), driver.cfg.detector)
+    r1 = driver.run_epoch(0, psi, psi_opt, det0, save_pngs=False)
+    det1 = r1["detector_state"]
+    assert int(det1.step) == driver.cfg.detector.max_iter
+    r2 = driver.run_epoch(1, r1["psi"], r1["psi_opt"], det1, save_pngs=False)
+    assert int(r2["detector_state"].step) == 2 * driver.cfg.detector.max_iter

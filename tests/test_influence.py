@@ -1,0 +1,112 @@
+"""Influence-function engine vs closed forms on quadratic losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsim_tpu.hypergrad.influence import (
+    grad_loss,
+    hvp,
+    inverse_hvp,
+    mixed_grad_wrt_images,
+    tree_dot,
+)
+
+
+def quad_loss(params, batch):
+    """L = 0.5 theta^T A theta + b.theta with A from the batch."""
+    A, b = batch
+    th = params["theta"]
+    return 0.5 * th @ A @ th + b @ th
+
+
+def _setup(rng, d=6):
+    M = rng.randn(d, d)
+    A = (M @ M.T + d * np.eye(d)).astype(np.float32)  # SPD
+    b = rng.randn(d).astype(np.float32)
+    theta = rng.randn(d).astype(np.float32)
+    params = {"theta": jnp.array(theta)}
+    batch = (jnp.array(A), jnp.array(b))
+    return A, b, theta, params, batch
+
+
+def test_grad_loss_accumulates(rng):
+    A, b, theta, params, batch = _setup(rng)
+    g = grad_loss(quad_loss, params, [batch, batch])
+    want = 2 * (A @ theta + b)
+    np.testing.assert_allclose(np.asarray(g["theta"]), want, rtol=1e-4)
+
+
+def test_grad_loss_scan_matches_list(rng):
+    A, b, theta, params, batch = _setup(rng)
+    stacked = (jnp.stack([batch[0]] * 3), jnp.stack([batch[1]] * 3))
+    g_scan = grad_loss(quad_loss, params, stacked)
+    g_list = grad_loss(quad_loss, params, [batch] * 3)
+    np.testing.assert_allclose(
+        np.asarray(g_scan["theta"]), np.asarray(g_list["theta"]), rtol=1e-5
+    )
+
+
+def test_hvp_equals_Av(rng):
+    A, b, theta, params, batch = _setup(rng)
+    v = {"theta": jnp.array(rng.randn(6).astype(np.float32))}
+    out = hvp(quad_loss, params, batch, v)
+    np.testing.assert_allclose(
+        np.asarray(out["theta"]), A @ np.asarray(v["theta"]), rtol=1e-4
+    )
+
+
+def test_inverse_hvp_modes(rng):
+    A, b, theta, params, batch = _setup(rng)
+    v_np = rng.randn(6).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+
+    out = inverse_hvp(quad_loss, params, batch, v, "identity")
+    np.testing.assert_allclose(np.asarray(out["theta"]), v_np)
+
+    out = inverse_hvp(quad_loss, params, batch, v, "ones")
+    np.testing.assert_allclose(np.asarray(out["theta"]), 1.0)
+
+    out = inverse_hvp(quad_loss, params, batch, v, "onestep", damping=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["theta"]), A @ v_np + 1e-2 * v_np, rtol=1e-4
+    )
+
+    out = inverse_hvp(quad_loss, params, batch, v, "neumann")
+    np.testing.assert_allclose(
+        np.asarray(out["theta"]), 2 * v_np - A @ v_np, rtol=1e-4
+    )
+
+
+def test_cg_solves_linear_system(rng):
+    A, b, theta, params, batch = _setup(rng)
+    v_np = rng.randn(6).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+    damping = 1e-2
+    out = inverse_hvp(quad_loss, params, batch, v, "cg", damping=damping,
+                      cg_iters=30)
+    want = np.linalg.solve(A + damping * np.eye(6), v_np)
+    np.testing.assert_allclose(np.asarray(out["theta"]), want, rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_grad_wrt_images_closed_form(rng):
+    """L(theta, I) = theta . (W I_flat): d/dI <dL/dtheta, v> = W^T v."""
+    d, hw = 4, 9
+    W = rng.randn(d, hw).astype(np.float32)
+    v_np = rng.randn(d).astype(np.float32)
+    params = {"theta": jnp.array(rng.randn(d).astype(np.float32))}
+    v = {"theta": jnp.array(v_np)}
+
+    def loss_img(p, img):
+        return p["theta"] @ (jnp.array(W) @ img.reshape(-1))
+
+    images = jnp.array(rng.randn(1, 3, 3).astype(np.float32))
+    out = mixed_grad_wrt_images(loss_img, params, images, v)
+    want = (W.T @ v_np).reshape(1, 3, 3)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_tree_dot():
+    a = {"x": jnp.array([1.0, 2.0]), "y": jnp.array([[3.0]])}
+    b = {"x": jnp.array([4.0, 5.0]), "y": jnp.array([[2.0]])}
+    assert float(tree_dot(a, b)) == 1 * 4 + 2 * 5 + 3 * 2

@@ -104,9 +104,39 @@ def test_loss_finite_and_grad_flows(det):
     )(state.params)
     head_grad = jax.tree_util.tree_leaves(grads["head"])
     assert any(float(jnp.abs(g).max()) > 0 for g in head_grad)
-    # frozen backbone: zero grads everywhere in the backbone subtree
-    bb_grad = jax.tree_util.tree_leaves(grads["backbone"])
-    assert all(float(jnp.abs(g).max()) == 0 for g in bb_grad)
+
+    # image gradients flow THROUGH the frozen backbone (hypergrad contract)
+    img_grad = jax.grad(
+        lambda im: retinanet_loss(
+            apply_fn, state.params,
+            DetBatch(im, batch.gt_boxes, batch.gt_labels, batch.gt_valid),
+            anchors_cat, DC,
+        )[0]
+    )(batch.images)
+    assert float(jnp.abs(img_grad).max()) > 0
+
+
+def test_freeze_is_param_partition(det):
+    """FREEZE_AT=6: backbone excluded from trainable params and untouched by
+    a train step."""
+    from neuralsim_tpu.detector.trainer import split_trainable, train_step
+
+    state, _ = det
+    trainable, frozen = split_trainable(state.params, DC)
+    assert "backbone" in frozen and "backbone" not in trainable
+    assert "head" in trainable and "fpn" in trainable
+
+    anchors_cat = jnp.concatenate(generate_anchors(64), 0)
+    new_state, _ = train_step(state, _batch_with_object(), DC, anchors_cat)
+    before = jax.tree_util.tree_leaves(state.params["backbone"])
+    after = jax.tree_util.tree_leaves(new_state.params["backbone"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+    # head moved
+    hb = jax.tree_util.tree_leaves(state.params["head"])
+    ha = jax.tree_util.tree_leaves(new_state.params["head"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(hb, ha))
 
 
 def test_inner_train_reduces_loss(det):
