@@ -73,6 +73,9 @@ class RenderConfig:
     # the backward pass materializes every MLP residual for every tile
     # (~31 GB for 2x20k-ray tiles at 64+192 samples) and OOMs HBM
     remat: bool = False
+    # run the MLP through the fused Pallas kernel (TPU only; forward path —
+    # gradients recompute via the jnp reference implementation)
+    use_pallas: bool = False
     near: float = 0.3103964843749999   # pipeline default: info.near - 0.5
     far: float = 1.9297681884765627    # pipeline default: info.far + 0.5
 

@@ -126,7 +126,8 @@ def nerf_apply(params: Params, x_pe, d_pe, net: NeRFNetConfig,
 
 
 def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
-                 net: NeRFNetConfig, compute_dtype=jnp.float32):
+                 net: NeRFNetConfig, compute_dtype=jnp.float32,
+                 use_pallas: bool = False):
     """Encode and evaluate the field at sample points.
 
     Equivalent surface to the reference's run_network
@@ -150,5 +151,10 @@ def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
         dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
         d_pe = dirs if net.i_embed == -1 else positional_encoding(dirs, net.multires_views)
 
-    raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
+    if use_pallas and net.use_viewdirs:
+        from neuralsim_tpu.kernels.raymarch import fused_nerf_mlp
+
+        raw = fused_nerf_mlp(params, x_pe, d_pe, net, compute_dtype)
+    else:
+        raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
     return raw.reshape(n, s, raw.shape[-1])

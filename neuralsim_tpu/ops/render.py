@@ -54,7 +54,8 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
-    raw = query_points(models["coarse"], pts, viewdirs, net, compute_dtype)
+    raw = query_points(models["coarse"], pts, viewdirs, net, compute_dtype,
+                       use_pallas=rc.use_pallas)
     rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
         raw, z_vals, rays_d, key=k_noise0,
         raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
@@ -76,7 +77,8 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
         fine_params = models.get("fine") or models["coarse"]
-        raw = query_points(fine_params, pts, viewdirs, net, compute_dtype)
+        raw = query_points(fine_params, pts, viewdirs, net, compute_dtype,
+                           use_pallas=rc.use_pallas)
         rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
             raw, z_vals, rays_d, key=k_noise1,
             raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,

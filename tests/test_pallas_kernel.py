@@ -1,0 +1,75 @@
+"""Fused Pallas MLP kernel vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsim_tpu.config import NeRFNetConfig
+from neuralsim_tpu.kernels.raymarch import _fused_forward, fused_nerf_mlp
+from neuralsim_tpu.models.nerf import init_nerf_params, nerf_apply
+
+NET = NeRFNetConfig()
+
+
+def test_fused_matches_reference_interpret(rng):
+    params = init_nerf_params(jax.random.PRNGKey(0), NET)
+    n = 300  # not a multiple of the tile -> exercises padding
+    x = jnp.array(rng.randn(n, 63).astype(np.float32))
+    d = jnp.array(rng.randn(n, 27).astype(np.float32))
+
+    want = np.asarray(nerf_apply(params, x, d, NET))
+    got = np.asarray(_fused_forward(params, x, d, NET,
+                                    compute_dtype=jnp.float32, tile=128,
+                                    interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_skip_split_correct(rng):
+    """Skip layer split-matmul must equal the concat formulation exactly."""
+    net = NeRFNetConfig(netdepth=4, netwidth=32, skips=(1,), multires=2,
+                        multires_views=1)
+    params = init_nerf_params(jax.random.PRNGKey(1), net)
+    x = jnp.array(rng.randn(64, net.input_ch).astype(np.float32))
+    d = jnp.array(rng.randn(64, net.input_ch_views).astype(np.float32))
+    want = np.asarray(nerf_apply(params, x, d, net))
+    got = np.asarray(_fused_forward(params, x, d, net,
+                                    compute_dtype=jnp.float32, tile=64,
+                                    interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_custom_vjp_gradient_matches(rng):
+    params = init_nerf_params(jax.random.PRNGKey(0), NET)
+    x = jnp.array(rng.randn(32, 63).astype(np.float32))
+    d = jnp.array(rng.randn(32, 27).astype(np.float32))
+    g_out = jnp.array(rng.randn(32, 4).astype(np.float32))
+
+    # bwd of the fused op recomputes via the jnp reference; compare against
+    # direct autodiff of the reference
+    def loss_ref(p):
+        return jnp.sum(nerf_apply(p, x, d, NET) * g_out)
+
+    want = jax.grad(loss_ref)(params)
+
+    # use the interpret-mode fwd via monkeypatched _fused_forward? simpler:
+    # call the custom_vjp's bwd indirectly by differentiating the reference
+    # formulation the bwd uses — equality is structural. Here we only check
+    # the vjp wiring shape-compatibility through jax.vjp on CPU interpret.
+    from neuralsim_tpu.kernels import raymarch
+
+    orig = raymarch._fused_forward
+    raymarch._fused_forward = lambda p, xx, dd, net, cd, tile=2048: orig(
+        p, xx, dd, net, jnp.float32, 128, interpret=True
+    )
+    try:
+        got = jax.grad(
+            lambda p: jnp.sum(fused_nerf_mlp(p, x, d, NET, jnp.float32) * g_out)
+        )(params)
+    finally:
+        raymarch._fused_forward = orig
+
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-3, atol=1e-4
+        )

@@ -1,0 +1,98 @@
+"""Standalone NeRF training: loss/PSNR improve on a tiny synthetic scene."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsim_tpu.config import NeRFNetConfig, RenderConfig, TrainConfig
+from neuralsim_tpu.data.blender import CameraParams, LinemodDataset
+from neuralsim_tpu.train_nerf import (
+    init_train_state,
+    make_optimizer,
+    sample_image_rays,
+    train_nerf,
+    train_step,
+)
+
+NET = NeRFNetConfig(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                    skips=(0,), multires=4, multires_views=2)
+RC = RenderConfig(n_samples=8, n_importance=8, ray_chunk=256, near=0.5,
+                  far=2.0, perturb=True)
+TC = TrainConfig(n_rand=128, lrate=5e-3, lrate_decay=500)
+
+
+def _synthetic_dataset(n_views=4, hw=16):
+    """Flat-color views from spherical poses (constant target — enough to
+    test that optimization reduces reconstruction error)."""
+    from neuralsim_tpu.sampler.poses import pose_spherical
+
+    poses = np.asarray(pose_spherical(
+        jnp.linspace(0, 270, n_views), jnp.full((n_views,), -20.0), 1.2
+    ))
+    images = np.full((n_views, hw, hw, 4), 0.6, np.float32)
+    cam = CameraParams(hw, hw, 20.0,
+                       np.array([[20.0, 0, hw / 2], [0, 20.0, hw / 2], [0, 0, 1]],
+                                np.float32), 0.5, 2.0)
+    return LinemodDataset(images, poses, poses, cam,
+                          (np.arange(n_views), np.array([]), np.array([])))
+
+
+def test_lr_schedule_decays():
+    opt = make_optimizer(TC)
+    # schedule embedded: lr(0)=lrate, lr(decay*1000)=0.1*lrate
+    from neuralsim_tpu.train_nerf import TrainConfig as TC2
+
+    tc = TrainConfig(lrate=1.0, lrate_decay=1)
+    def sched(step):
+        return float(tc.lrate * jnp.power(0.1, step / (tc.lrate_decay * 1000)))
+    assert abs(sched(0) - 1.0) < 1e-6
+    assert abs(sched(1000) - 0.1) < 1e-6
+
+
+def test_sample_image_rays_shapes():
+    ds = _synthetic_dataset()
+    ro, rd, tgt = sample_image_rays(
+        jax.random.PRNGKey(0), jnp.asarray(ds.images[0]),
+        jnp.asarray(ds.poses[0]), 16, 16, ds.camera.K, 32,
+    )
+    assert ro.shape == (32, 3) and rd.shape == (32, 3) and tgt.shape == (32, 3)
+
+
+def test_sample_image_rays_precrop():
+    ds = _synthetic_dataset()
+    img = jnp.asarray(ds.images[0]).at[4:12, 4:12, 0].set(0.9)
+    ro, rd, tgt = sample_image_rays(
+        jax.random.PRNGKey(1), img, jnp.asarray(ds.poses[0]),
+        16, 16, ds.camera.K, 16, precrop_frac=0.5,
+    )
+    # all sampled pixels from the central crop -> red channel 0.9
+    np.testing.assert_allclose(np.asarray(tgt)[:, 0], 0.9, atol=1e-6)
+
+
+def test_training_improves_psnr():
+    ds = _synthetic_dataset()
+    state, metrics = train_nerf(ds, NET, RC, TC, key=jax.random.PRNGKey(0),
+                                n_iters=30)
+    assert int(state.step) == 30
+    # render reconstruction error dropped substantially vs step 1
+    state0, m0 = train_nerf(ds, NET, RC, TC, key=jax.random.PRNGKey(0), n_iters=1)
+    assert float(metrics["loss"]) < float(m0["loss"]) * 0.7
+    assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_train_step_pure_and_deterministic():
+    ds = _synthetic_dataset()
+    state = init_train_state(jax.random.PRNGKey(0), NET, RC, TC)
+    ro, rd, tgt = sample_image_rays(
+        jax.random.PRNGKey(2), jnp.asarray(ds.images[0]),
+        jnp.asarray(ds.poses[0]), 16, 16, ds.camera.K, 64,
+    )
+    k = jax.random.PRNGKey(3)
+    s1, m1 = train_step(state, ro, rd, tgt, k, NET, RC, TC)
+    s2, m2 = train_step(state, ro, rd, tgt, k, NET, RC, TC)
+    assert float(m1["loss"]) == float(m2["loss"])
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(l1, l2))
