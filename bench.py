@@ -10,9 +10,20 @@ vs_baseline is measured rays/s against the 5M rays/s/chip north star
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: repeated bench runs skip the (minutes-long on
+# this relay) XLA compile
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -181,7 +181,14 @@ class BilevelDriver:
     def run(self, n_epochs: Optional[int] = None,
             detector_state: Optional[DetectorState] = None,
             psi: Optional[jnp.ndarray] = None,
-            save_pngs: Optional[bool] = None) -> Dict:
+            save_pngs: Optional[bool] = None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 1,
+            resume: bool = True) -> Dict:
+        """Outer loop with optional exact checkpoint/resume — the failure
+        recovery the reference lacks (SURVEY.md §5: a crashed outer loop
+        restarts from scratch, psi is never persisted). The checkpoint holds
+        {psi, psi optimizer, detector params+opt, PRNG key, epoch}."""
         cfg = self.cfg
         bc = cfg.bilevel
         n_epochs = n_epochs if n_epochs is not None else bc.n_epochs
@@ -191,16 +198,54 @@ class BilevelDriver:
         psi_opt = psi_optimizer_init(bc.opt_method, bc.opt_lr)
         self.key, det_key = jax.random.split(self.key)
         det_state = detector_state or init_detector(det_key, cfg.detector)
+        start_epoch = 0
+
+        ckpt_mgr = None
+        if checkpoint_dir:
+            from neuralsim_tpu.utils.checkpoint import CheckpointManager
+
+            ckpt_mgr = CheckpointManager(checkpoint_dir)
+            if resume and ckpt_mgr.latest_step() is not None:
+                like = self._ckpt_state(psi, psi_opt, det_state, 0)
+                restored = ckpt_mgr.restore(like=like)
+                psi = jnp.asarray(restored["psi"])
+                psi_opt = psi_opt._replace(
+                    lr=jnp.asarray(restored["psi_opt"]["lr"]),
+                    step=jnp.asarray(restored["psi_opt"]["step"]),
+                    m=jnp.asarray(restored["psi_opt"]["m"]),
+                    v=jnp.asarray(restored["psi_opt"]["v"]),
+                )
+                det_state = DetectorState(
+                    jax.tree_util.tree_map(jnp.asarray, restored["detector"]["params"]),
+                    jax.tree_util.tree_map(jnp.asarray, det_state.opt_state),
+                    jnp.asarray(restored["detector"]["step"]),
+                )
+                self.key = jnp.asarray(restored["key"])
+                start_epoch = int(restored["epoch"]) + 1
 
         history = []
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             record = self.run_epoch(epoch, psi, psi_opt, det_state,
                                     save_pngs=save_pngs)
             psi, psi_opt, det_state = (
                 record["psi"], record["psi_opt"], record["detector_state"]
             )
             history.append({k: record[k] for k in ("epoch", "map", "psi_probs")})
+            if ckpt_mgr and (epoch % checkpoint_every == 0):
+                ckpt_mgr.save(
+                    epoch, self._ckpt_state(psi, psi_opt, det_state, epoch)
+                )
         return {"psi": psi, "detector_state": det_state, "history": history}
+
+    def _ckpt_state(self, psi, psi_opt, det_state: DetectorState, epoch: int):
+        return {
+            "psi": psi,
+            "psi_opt": {"lr": psi_opt.lr, "step": psi_opt.step,
+                        "m": psi_opt.m, "v": psi_opt.v},
+            "detector": {"params": det_state.params, "step": det_state.step},
+            "key": self.key,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
 
     def run_epoch(self, epoch: int, psi, psi_opt, det_state: DetectorState,
                   save_pngs: bool = False) -> Dict:

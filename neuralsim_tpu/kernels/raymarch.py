@@ -129,7 +129,11 @@ def _fused_forward(params: Dict, x_pe, d_pe, net: NeRFNetConfig,
         x_pe = jnp.pad(x_pe, ((0, n_pad - n), (0, 0)))
         d_pe = jnp.pad(d_pe, ((0, n_pad - n), (0, 0)))
 
-    weights = _param_list(params, depth)
+    # ship operands at compute precision: halves VMEM footprint and HBM
+    # traffic; accumulation stays f32 inside the kernel
+    x_pe = x_pe.astype(compute_dtype)
+    d_pe = d_pe.astype(compute_dtype)
+    weights = [w.astype(compute_dtype) for w in _param_list(params, depth)]
     grid = (n_pad // tile,)
 
     w_specs = [
@@ -157,6 +161,9 @@ def _fused_forward(params: Dict, x_pe, d_pe, net: NeRFNetConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(x_pe, d_pe, *weights)
     return out[:n]
 

@@ -1,0 +1,39 @@
+"""Bilevel checkpoint/resume: run 2 epochs, crash-restart, continue at 3."""
+
+import numpy as np
+import jax
+import pytest
+
+
+def test_run_with_checkpoint_resume(tmp_path):
+    from tests.test_bilevel_e2e import tiny_cfg
+    from neuralsim_tpu.bilevel.driver import BilevelDriver, ValData
+    from neuralsim_tpu.detector.dataset import build_detector_batches
+    from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, bilevel=dataclasses.replace(cfg.bilevel, optimization=True)
+    )
+    key = jax.random.PRNGKey(0)
+    nerf = init_nerf_pipeline_params(key, cfg.net, cfg.render.n_importance)
+    val_imgs = np.zeros((1, 32, 32, 3), np.float32)
+    val_imgs[0, 8:20, 8:20] = 0.9
+    images, boxes, labels, valid = build_detector_batches(val_imgs, [0], cfg.detector)
+    val = ValData(images, boxes, labels, valid)
+
+    ckdir = str(tmp_path / "ck")
+    drv = BilevelDriver(cfg, nerf, val, key=key, object_class=0,
+                        output_dir=str(tmp_path / "out"))
+    r1 = drv.run(n_epochs=2, save_pngs=False, checkpoint_dir=ckdir)
+    assert len(r1["history"]) == 2
+
+    # "crash": new driver, resume from checkpoints, run to epoch 3
+    drv2 = BilevelDriver(cfg, nerf, val, key=jax.random.PRNGKey(99),
+                         object_class=0, output_dir=str(tmp_path / "out2"))
+    r2 = drv2.run(n_epochs=3, save_pngs=False, checkpoint_dir=ckdir)
+    # only epoch 2 runs (0 and 1 restored)
+    assert [h["epoch"] for h in r2["history"]] == [2]
+    # detector step count carried across the resume
+    assert int(r2["detector_state"].step) == 3 * cfg.detector.max_iter
