@@ -168,6 +168,41 @@ def write_coco_json(class_dirs: Dict[str, str], json_path: str,
     return doc
 
 
+def dataset_dicts_from_dirs(basedir: str, cate_to_id: Dict[str, int],
+                            with_rle_masks: bool = True) -> List[dict]:
+    """Walk ``basedir/{category}/*.png`` and build detectron2-style dataset
+    dicts with auto-annotated boxes + RLE masks (reference get_ycbv_dicts,
+    ``neural_sim_main.py:799-832`` — the alternative, JSON-free registration
+    path)."""
+    import imageio.v2 as imageio
+
+    dicts: List[dict] = []
+    image_index = 0
+    for cate in sorted(os.listdir(basedir)):
+        cdir = os.path.join(basedir, cate)
+        if not os.path.isdir(cdir) or cate not in cate_to_id:
+            continue
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.endswith(".png"):
+                continue
+            path = os.path.join(cdir, fname)
+            img = np.asarray(imageio.imread(path))
+            h, w = img.shape[:2]
+            record = {"file_name": path, "image_id": image_index,
+                      "height": h, "width": w, "annotations": []}
+            bbox = auto_annotate(img)
+            if bbox is not None:
+                x, y, bw, bh = bbox
+                ann = {"bbox": [x, y, x + bw, y + bh],
+                       "category_id": cate_to_id[cate], "iscrowd": 0}
+                if with_rle_masks:
+                    ann["segmentation"] = rle_encode(annotation_mask(img))
+                record["annotations"].append(ann)
+            dicts.append(record)
+            image_index += 1
+    return dicts
+
+
 def resolve_train_val_dirs(train_val_path_info: str, test_distribution: str,
                            object_id: str, rendered_dir: str, basedir: str):
     """Reference create_dataset path resolution (:729-745): the optimized

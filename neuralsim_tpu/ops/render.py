@@ -65,29 +65,67 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
     if rc.n_importance > 0:
         out["rgb0"], out["disp0"], out["acc0"] = rgb_map, disp_map, acc_map
 
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(
-            k_pdf, z_mid, weights[..., 1:-1], rc.n_importance,
-            det=not rc.perturb,
-        )
-        z_samples = jax.lax.stop_gradient(z_samples)
-        out["z_std"] = jnp.std(z_samples, axis=-1)
-
-        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-
-        fine_params = models.get("fine") or models["coarse"]
-        raw = query_points(fine_params, pts, viewdirs, net, compute_dtype,
-                           use_pallas=rc.use_pallas)
-        rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
-            raw, z_vals, rays_d, key=k_noise1,
-            raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
-        )
+        if rc.fine_fraction < 1.0:
+            # sparse fine pass: only rays that actually hit density get the
+            # expensive fine network; background rays keep coarse outputs
+            k_sel = max(8, int(round(n_rays * rc.fine_fraction)))
+            k_sel = min(n_rays, -(-k_sel // 8) * 8)
+            sel = jax.lax.stop_gradient(
+                jax.lax.top_k(acc_map, k_sel)[1]
+            )
+            f_out = _fine_pass(
+                models, rays_o[sel], rays_d[sel],
+                None if viewdirs is None else viewdirs[sel],
+                z_vals[sel], weights[sel], k_pdf, k_noise1, net, rc,
+                compute_dtype,
+            )
+            rgb_map = rgb_map.at[sel].set(f_out["rgb_map"])
+            disp_map = disp_map.at[sel].set(f_out["disp_map"])
+            acc_map = acc_map.at[sel].set(f_out["acc_map"])
+            depth_map = depth_map.at[sel].set(f_out["depth_map"])
+            out["z_std"] = jnp.zeros_like(acc_map).at[sel].set(f_out["z_std"])
+        else:
+            f_out = _fine_pass(
+                models, rays_o, rays_d, viewdirs, z_vals, weights,
+                k_pdf, k_noise1, net, rc, compute_dtype,
+            )
+            rgb_map, disp_map, acc_map, depth_map = (
+                f_out["rgb_map"], f_out["disp_map"], f_out["acc_map"],
+                f_out["depth_map"],
+            )
+            out["z_std"] = f_out["z_std"]
 
     out.update(
         rgb_map=rgb_map, disp_map=disp_map, acc_map=acc_map, depth_map=depth_map
     )
     return out
+
+
+def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
+               k_pdf, k_noise, net: NeRFNetConfig, rc: RenderConfig,
+               compute_dtype):
+    """Importance sampling + fine-network evaluation + compositing for a
+    (possibly routed) subset of rays."""
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(
+        k_pdf, z_mid, weights[..., 1:-1], rc.n_importance, det=not rc.perturb
+    )
+    z_samples = jax.lax.stop_gradient(z_samples)
+
+    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+
+    fine_params = models.get("fine") or models["coarse"]
+    raw = query_points(fine_params, pts, viewdirs, net, compute_dtype,
+                       use_pallas=rc.use_pallas)
+    rgb_map, disp_map, acc_map, _, depth_map = raw2outputs(
+        raw, z_all, rays_d, key=k_noise,
+        raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+    )
+    return {
+        "rgb_map": rgb_map, "disp_map": disp_map, "acc_map": acc_map,
+        "depth_map": depth_map, "z_std": jnp.std(z_samples, axis=-1),
+    }
 
 
 def _pad_to(x, n_target: int):

@@ -1,0 +1,73 @@
+"""dataset_dicts_from_dirs, sampler diagnostics, COCO JSON export."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_dataset_dicts_from_dirs(tmp_path):
+    import imageio.v2 as imageio
+
+    from neuralsim_tpu.detector.dataset import dataset_dicts_from_dirs
+    from neuralsim_tpu.native import rle_decode
+
+    for cate in ("1", "2"):
+        d = tmp_path / cate
+        d.mkdir()
+        img = np.zeros((24, 24, 3), np.uint8)
+        img[6:18, 4:20] = 200
+        imageio.imwrite(str(d / "000000.png"), img)
+
+    dicts = dataset_dicts_from_dirs(str(tmp_path), {"1": 1, "2": 2})
+    assert len(dicts) == 2
+    rec = dicts[0]
+    ann = rec["annotations"][0]
+    assert ann["bbox"] == [4, 6, 20, 18]
+    mask = rle_decode(ann["segmentation"])
+    assert mask.sum() == 12 * 16
+    assert {r["annotations"][0]["category_id"] for r in dicts} == {1, 2}
+
+
+def test_write_coco_json(tmp_path):
+    import imageio.v2 as imageio
+
+    from neuralsim_tpu.detector.dataset import write_coco_json
+
+    for cate in ("a", "b"):
+        d = tmp_path / "src" / cate
+        d.mkdir(parents=True)
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[4:12, 4:12] = 255
+        imageio.imwrite(str(d / "000000.png"), img)
+
+    out = tmp_path / "D_train"
+    doc = write_coco_json(
+        {"a": str(tmp_path / "src" / "a"), "b": str(tmp_path / "src" / "b")},
+        str(out / "ycbv_train.json"), copy_to=str(out / "train"),
+    )
+    assert len(doc["images"]) == 2
+    assert len(doc["annotations"]) == 2
+    assert doc["categories"][0]["id"] == 1
+    assert doc["annotations"][0]["bbox"] == [4, 4, 8, 8]
+    assert os.path.exists(out / "train" / "a" / "000000.png")
+    # registrable through the catalog
+    from neuralsim_tpu.detector.catalog import DatasetCatalog, MetadataCatalog, register_coco_instances
+
+    register_coco_instances("t", {}, str(out / "ycbv_train.json"),
+                            str(out / "train"), DatasetCatalog(), MetadataCatalog())
+
+
+def test_sampler_diagnostics_tracks_target():
+    from neuralsim_tpu.sampler.diagnostics import temperature_sweep
+
+    probs = jnp.array([0.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.7, 0.0])
+    sweep = temperature_sweep(probs, temperatures=(0.01, 5.0), n_samples=2000)
+    lo, hi = sweep[0.01], sweep[5.0]
+    # low temperature follows the target
+    assert abs(lo[1] - 0.3) < 0.06 and abs(lo[6] - 0.7) < 0.06
+    # high temperature collapses the soft expectation toward the MEAN of the
+    # bin centers (~180 deg, bins 3-4) — losing the true modes
+    assert hi[3] + hi[4] > 0.7
+    assert hi[1] + hi[6] < 0.2
