@@ -1,0 +1,77 @@
+"""Tensor-parallel param sharding + distributed init + BlenderProc config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
+from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+from neuralsim_tpu.ops.render import render_ray_batch
+from neuralsim_tpu.parallel.distributed import (
+    initialize_distributed,
+    nerf_param_sharding,
+)
+from neuralsim_tpu.parallel.mesh import make_mesh
+
+NET = NeRFNetConfig()  # full-width 256 net so the model axis divides layers
+RC = RenderConfig(n_samples=8, n_importance=8, ray_chunk=64, near=0.5,
+                  far=2.0, perturb=False)
+
+
+def test_initialize_distributed_single_process_noop():
+    assert initialize_distributed() is False
+    assert initialize_distributed(num_processes=1) is False
+
+
+def test_tensor_parallel_render_matches_replicated():
+    """TP-sharded params (kernels split over 'model') must give identical
+    renders — XLA inserts the collectives."""
+    mesh = make_mesh(data=4, model=2)
+    models = init_nerf_pipeline_params(jax.random.PRNGKey(0), NET, RC.n_importance)
+    n = 128
+    rd = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.1 + jnp.array(
+        [0.0, 0.0, -1.0]
+    )
+    ro = jnp.zeros((n, 3))
+
+    base = render_ray_batch(models, ro, rd, None, NET, RC)["rgb_map"]
+
+    tp_models = nerf_param_sharding(models, mesh, tensor_parallel=True)
+    # the wide kernels really are split across the model axis
+    k = tp_models["coarse"]["pts_1_kernel"]
+    assert len(k.sharding.device_set) >= 2
+    fn = jax.jit(lambda m, o, d: render_ray_batch(m, o, d, None, NET, RC)["rgb_map"])
+    tp_out = fn(tp_models, ro, rd)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(tp_out),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_param_sharding_replicated_mode():
+    mesh = make_mesh()
+    models = init_nerf_pipeline_params(jax.random.PRNGKey(0), NET, 8)
+    rep = nerf_param_sharding(models, mesh, tensor_parallel=False)
+    k = rep["coarse"]["pts_0_kernel"]
+    assert len(k.sharding.device_set) == 8  # replicated across all
+
+
+def test_blenderproc_config_roundtrip(tmp_path):
+    from neuralsim_tpu.data.blenderproc_config import (
+        SceneRecipe,
+        blenderproc_config,
+        to_yaml,
+        write_config,
+    )
+
+    cfg = blenderproc_config(SceneRecipe(object_id=2, n_poses=300))
+    modules = {m["module"] for m in cfg["modules"]}
+    assert {"loader.BopLoader", "camera.CameraSampler", "renderer.RgbRenderer",
+            "writer.BopWriter", "lighting.LightLoader"} <= modules
+    sampler = next(m for m in cfg["modules"] if m["module"] == "camera.CameraSampler")
+    pose_cfg = sampler["config"]["cam_poses"][0]
+    assert pose_cfg["number_of_samples"] == 300
+    assert pose_cfg["location"]["radius_max"] == 1.01
+
+    text = to_yaml(cfg)
+    assert "BopLoader" in text and "number_of_samples: 300" in text
+    p = write_config(str(tmp_path / "config.yaml"))
+    assert (tmp_path / "config.yaml").exists()
