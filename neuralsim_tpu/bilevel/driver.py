@@ -135,11 +135,30 @@ class BilevelDriver:
         from neuralsim_tpu.detector.trainer import split_trainable
 
         v = self.val_data
-        batch = DetBatch(v.images, v.gt_boxes, v.gt_labels, v.gt_valid)
         trainable, frozen = split_trainable(params, self.cfg.detector)
-        return jax.grad(
-            lambda tp: self._det_loss_trainable(tp, frozen, batch)
-        )(trainable)
+        n = v.images.shape[0]
+        bs = min(self.cfg.detector.images_per_batch, n)
+        n_batches = n // bs
+        if n_batches <= 1:
+            batch = DetBatch(v.images, v.gt_boxes, v.gt_labels, v.gt_valid)
+            return jax.grad(
+                lambda tp: self._det_loss_trainable(tp, frozen, batch)
+            )(trainable)
+        # accumulate over scanned val batches (the reference accumulates
+        # .grad over the whole val loader, neural_sim_main.py:948-969);
+        # a leftover tail smaller than one batch is dropped, matching a
+        # drop_last loader
+        cut = n_batches * bs
+        stacked = DetBatch(
+            v.images[:cut].reshape((n_batches, bs) + v.images.shape[1:]),
+            v.gt_boxes[:cut].reshape((n_batches, bs) + v.gt_boxes.shape[1:]),
+            v.gt_labels[:cut].reshape((n_batches, bs) + v.gt_labels.shape[1:]),
+            v.gt_valid[:cut].reshape((n_batches, bs) + v.gt_valid.shape[1:]),
+        )
+        return grad_loss(
+            lambda tp, b: self._det_loss_trainable(tp, frozen, b),
+            trainable, stacked,
+        )
 
     def _ihvp_impl(self, params, batch: DetBatch, v):
         from neuralsim_tpu.detector.trainer import split_trainable
@@ -341,11 +360,16 @@ class BilevelDriver:
     def evaluate(self, det_state: DetectorState) -> Dict:
         from neuralsim_tpu.models.retinanet import retinanet_inference
 
-        dets = retinanet_inference(
-            self.det_apply, det_state.params, self.val_data.images,
-            self.anchors_per_level, self.cfg.detector,
-        )
-        det_list = detections_to_eval(dets)
+        n = self.val_data.images.shape[0]
+        bs = min(self.cfg.detector.images_per_batch, n)
+        det_list = []
+        for start in range(0, n, bs):
+            imgs = self.val_data.images[start: start + bs]
+            dets = retinanet_inference(
+                self.det_apply, det_state.params, imgs,
+                self.anchors_per_level, self.cfg.detector,
+            )
+            det_list.extend(detections_to_eval(dets))
         gt_list = []
         for i in range(self.val_data.images.shape[0]):
             m = np.asarray(self.val_data.gt_valid[i])
