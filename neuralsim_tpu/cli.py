@@ -16,12 +16,12 @@ import jax
 import numpy as np
 
 
-def main(argv=None):
+def main(argv=None, cfg=None):
     from neuralsim_tpu.config import parse_cli
     from neuralsim_tpu.pipeline import NeuralSimRenderer
     from neuralsim_tpu.utils.logging import save_args_snapshot
 
-    cfg = parse_cli(argv)
+    cfg = cfg if cfg is not None else parse_cli(argv)
     key = jax.random.PRNGKey(cfg.seed)
 
     expdir = os.path.join(cfg.data.basedir, cfg.data.expname)

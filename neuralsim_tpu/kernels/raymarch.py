@@ -41,6 +41,90 @@ def pallas_available() -> bool:
         return False
 
 
+def _pe_matmul(x, kernel_ref, n_freqs: int, compute_dtype, row0: int = 0):
+    """y = PE(x) @ W without materializing PE(x).
+
+    PE row layout in W matches ops.encoding ([x, sin 2^0 x, cos 2^0 x, ...]),
+    so the product decomposes into 2*n_freqs+1 skinny [T,3]@[3,out] matmuls
+    accumulated in f32 — the encoding lives entirely in registers/VMEM.
+    ``row0`` offsets into the kernel (used for the viewdir slice of the
+    views layer).
+
+    MEASURED (v5e, round 1): this decomposition is a LOSS — 21 K=3 matmuls
+    starve the MXU and the full render drops to 53k rays/s vs 207k for the
+    XLA path. Kept as a correct reference; a winning PE fusion needs the
+    encoding built as one [T, 64]-lane tile (single wide matmul), which
+    requires a lane-concat/reshape Mosaic currently makes expensive.
+    """
+    cd = compute_dtype
+    acc = jnp.dot(x.astype(cd), kernel_ref[row0: row0 + 3].astype(cd),
+                  preferred_element_type=jnp.float32)
+    for k in range(n_freqs):
+        xb = x * (2.0 ** k)
+        r = row0 + 3 + 6 * k
+        acc += jnp.dot(jnp.sin(xb).astype(cd),
+                       kernel_ref[r: r + 3].astype(cd),
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(jnp.cos(xb).astype(cd),
+                       kernel_ref[r + 3: r + 6].astype(cd),
+                       preferred_element_type=jnp.float32)
+    return acc
+
+
+def _mlp_pe_kernel(pts_ref, dirs_ref, *refs, depth: int, skips,
+                   n_freqs_x: int, n_freqs_d: int, compute_dtype):
+    """Whole NeRF MLP with the positional encodings fused into the first
+    matmul of each consumer: inputs are raw [T,3] points + dirs."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    idx = 0
+
+    def nxt():
+        nonlocal idx
+        k, b = wrefs[idx], wrefs[idx + 1]
+        idx += 2
+        return k, b
+
+    cd = compute_dtype
+    x = pts_ref[:]
+    d = dirs_ref[:]
+    in_ch = 3 + 6 * n_freqs_x
+
+    h = None
+    for i in range(depth):
+        k, b = nxt()
+        if i == 0:
+            acc = _pe_matmul(x, k, n_freqs_x, cd)
+        elif (i - 1) in skips:
+            acc = _pe_matmul(x, k, n_freqs_x, cd)
+            acc += jnp.dot(h, k[in_ch:].astype(cd),
+                           preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(h, k[:].astype(cd), preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + b[:].astype(jnp.float32), 0.0).astype(cd)
+
+    fk, fb = nxt()
+    ak, ab = nxt()
+    vk, vb = nxt()
+    rk, rb = nxt()
+
+    alpha = jnp.dot(h, ak[:].astype(cd), preferred_element_type=jnp.float32)
+    alpha += ab[:].astype(jnp.float32)
+    feature = jnp.dot(h, fk[:].astype(cd), preferred_element_type=jnp.float32)
+    feature = (feature + fb[:].astype(jnp.float32)).astype(cd)
+
+    width = feature.shape[-1]
+    hv = jnp.dot(feature, vk[:width].astype(cd),
+                 preferred_element_type=jnp.float32)
+    hv += _pe_matmul(d, vk, n_freqs_d, cd, row0=width)
+    hv = jnp.maximum(hv + vb[:].astype(jnp.float32), 0.0).astype(cd)
+
+    rgb = jnp.dot(hv, rk[:].astype(cd), preferred_element_type=jnp.float32)
+    rgb += rb[:].astype(jnp.float32)
+
+    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1).astype(out_ref.dtype)
+
+
 def _mlp_kernel(x_ref, d_ref, *refs, depth: int, skips, compute_dtype):
     """refs layout: pts kernels/biases (depth pairs), feature, alpha,
     views_0, rgb pairs, then out_ref last."""
@@ -166,6 +250,86 @@ def _fused_forward(params: Dict, x_pe, d_pe, net: NeRFNetConfig,
         ),
     )(x_pe, d_pe, *weights)
     return out[:n]
+
+
+def _fused_forward_pe(params: Dict, pts, dirs, net: NeRFNetConfig,
+                      compute_dtype=jnp.bfloat16, tile: int = 4096,
+                      interpret: bool = False):
+    """PE-fused variant: raw [N,3] points/dirs in, [N,4] out — the encoding
+    never touches HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+    depth = sum(1 for k in params if k.startswith("pts_") and k.endswith("kernel"))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, n_pad - n), (0, 0)))
+
+    weights = [w.astype(compute_dtype) for w in _param_list(params, depth)]
+    grid = (n_pad // tile,)
+    w_specs = [
+        pl.BlockSpec(w.shape, functools.partial(_zero_index, w.ndim),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    kernel = functools.partial(
+        _mlp_pe_kernel, depth=depth, skips=tuple(net.skips),
+        n_freqs_x=net.multires, n_freqs_d=net.multires_views,
+        compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(pts, dirs, *weights)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_nerf_mlp_pe(params, pts, dirs, net: NeRFNetConfig,
+                      compute_dtype=jnp.bfloat16, tile: int = 4096):
+    """Pallas-fused PE + MLP on raw points/dirs. Backward recomputes via the
+    jnp reference (encoding + nerf_apply)."""
+    return _fused_forward_pe(params, pts, dirs, net, compute_dtype, tile)
+
+
+def _pe_fwd(params, pts, dirs, net, compute_dtype, tile):
+    return _fused_forward_pe(params, pts, dirs, net, compute_dtype, tile), (
+        params, pts, dirs,
+    )
+
+
+def _pe_bwd(net, compute_dtype, tile, res, g):
+    from neuralsim_tpu.models.nerf import nerf_apply
+    from neuralsim_tpu.ops.encoding import positional_encoding
+
+    params, pts, dirs = res
+
+    def ref(p, x, d):
+        return nerf_apply(
+            p, positional_encoding(x, net.multires),
+            positional_encoding(d, net.multires_views), net,
+            compute_dtype=jnp.float32,
+        )
+
+    _, vjp = jax.vjp(ref, params, pts, dirs)
+    return vjp(g)
+
+
+fused_nerf_mlp_pe.defvjp(_pe_fwd, _pe_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

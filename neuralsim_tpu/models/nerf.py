@@ -141,20 +141,20 @@ def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
     """
     n, s, _ = pts.shape
     flat = pts.reshape(n * s, 3)
-    if net.i_embed == -1:
-        x_pe = flat
-    else:
-        x_pe = positional_encoding(flat, net.multires)
 
+    if use_pallas and net.use_viewdirs and net.i_embed != -1:
+        # PE-fused kernel: encodings never materialize in HBM
+        from neuralsim_tpu.kernels.raymarch import fused_nerf_mlp_pe
+
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
+        raw = fused_nerf_mlp_pe(params, flat, dirs, net, compute_dtype)
+        return raw.reshape(n, s, raw.shape[-1])
+
+    x_pe = flat if net.i_embed == -1 else positional_encoding(flat, net.multires)
     d_pe = None
     if net.use_viewdirs:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
         d_pe = dirs if net.i_embed == -1 else positional_encoding(dirs, net.multires_views)
 
-    if use_pallas and net.use_viewdirs:
-        from neuralsim_tpu.kernels.raymarch import fused_nerf_mlp
-
-        raw = fused_nerf_mlp(params, x_pe, d_pe, net, compute_dtype)
-    else:
-        raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
+    raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
     return raw.reshape(n, s, raw.shape[-1])

@@ -55,7 +55,9 @@ class NeuralSimRenderer:
         if models is not None:
             self.models = models
         else:
-            self.models = self._load_models(key or jax.random.PRNGKey(cfg.seed))
+            self.models = self._load_models(
+                key if key is not None else jax.random.PRNGKey(cfg.seed)
+            )
 
         self._render_fn = jax.jit(self._render_impl)
 

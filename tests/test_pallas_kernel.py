@@ -6,10 +6,32 @@ import numpy as np
 import pytest
 
 from neuralsim_tpu.config import NeRFNetConfig
-from neuralsim_tpu.kernels.raymarch import _fused_forward, fused_nerf_mlp
+from neuralsim_tpu.kernels.raymarch import (
+    _fused_forward,
+    _fused_forward_pe,
+    fused_nerf_mlp,
+)
 from neuralsim_tpu.models.nerf import init_nerf_params, nerf_apply
+from neuralsim_tpu.ops.encoding import positional_encoding
 
 NET = NeRFNetConfig()
+
+
+def test_pe_fused_matches_reference_interpret(rng):
+    import jax.numpy as jnp
+
+    params = init_nerf_params(jax.random.PRNGKey(0), NET)
+    n = 200
+    pts = jnp.array(rng.randn(n, 3).astype(np.float32))
+    dirs = jnp.array(rng.randn(n, 3).astype(np.float32))
+    want = np.asarray(nerf_apply(
+        params, positional_encoding(pts, NET.multires),
+        positional_encoding(dirs, NET.multires_views), NET,
+    ))
+    got = np.asarray(_fused_forward_pe(params, pts, dirs, NET,
+                                       compute_dtype=jnp.float32, tile=128,
+                                       interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_fused_matches_reference_interpret(rng):
