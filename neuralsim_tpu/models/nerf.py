@@ -103,22 +103,26 @@ def nerf_apply(params: Params, x_pe, d_pe, net: NeRFNetConfig,
     Returns: [N, 4] (rgb logits, density).
     """
     depth = sum(1 for k in params if k.startswith("pts_") and k.endswith("kernel"))
-    h = x_pe
+    # keep inter-layer activations at compute precision: with bf16 this
+    # halves the [N, 256] HBM traffic between layers (the XLA path's real
+    # bottleneck — matmul accumulation stays f32 via preferred_element_type)
+    h = x_pe.astype(compute_dtype)
     for i in range(depth):
         h = _dense(h, params[f"pts_{i}_kernel"], params[f"pts_{i}_bias"], compute_dtype)
-        h = jax.nn.relu(h)
+        h = jax.nn.relu(h).astype(compute_dtype)
         if i in net.skips:
-            h = jnp.concatenate([x_pe, h], axis=-1)
+            h = jnp.concatenate([x_pe.astype(compute_dtype), h], axis=-1)
 
     if net.use_viewdirs:
         if d_pe is None:
             raise ValueError("use_viewdirs=True requires encoded directions")
         alpha = _dense(h, params["alpha_kernel"], params["alpha_bias"], compute_dtype)
-        feature = _dense(h, params["feature_kernel"], params["feature_bias"], compute_dtype)
-        h = jnp.concatenate([feature, d_pe], axis=-1)
+        feature = _dense(h, params["feature_kernel"], params["feature_bias"],
+                         compute_dtype).astype(compute_dtype)
+        h = jnp.concatenate([feature, d_pe.astype(compute_dtype)], axis=-1)
         h = jax.nn.relu(
             _dense(h, params["views_0_kernel"], params["views_0_bias"], compute_dtype)
-        )
+        ).astype(compute_dtype)
         rgb = _dense(h, params["rgb_kernel"], params["rgb_bias"], compute_dtype)
         return jnp.concatenate([rgb, alpha], axis=-1)
 

@@ -9,6 +9,7 @@ lambdas — a single fused VPU expression under XLA.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -16,19 +17,47 @@ def encoding_dim(input_dims: int, num_freqs: int, include_input: bool = True) ->
     return input_dims * (int(include_input) + 2 * num_freqs)
 
 
+import functools
+import math
+
+
+@functools.lru_cache(maxsize=32)
+def _pe_projection(d: int, num_freqs: int):
+    """Frequency projection F [D, 2*L*D] and phase [2*L*D] such that
+    gamma(x)[input-stripped] == sin(x @ F + phase), preserving the channel
+    order [sin f0 x, cos f0 x, sin f1 x, ...] (cos y == sin(y + pi/2))."""
+    import numpy as np
+
+    cols = 2 * num_freqs * d
+    F = np.zeros((d, cols), np.float32)
+    phase = np.zeros((cols,), np.float32)
+    for k in range(num_freqs):
+        for trig in range(2):  # 0 = sin, 1 = cos
+            for dim in range(d):
+                col = (2 * k + trig) * d + dim
+                F[dim, col] = 2.0 ** k
+                phase[col] = 0.0 if trig == 0 else math.pi / 2.0
+    return jnp.asarray(F), jnp.asarray(phase)
+
+
 def positional_encoding(x, num_freqs: int, include_input: bool = True):
     """gamma(x) for x[..., D] -> [..., D*(include + 2*num_freqs)].
 
     Frequencies are 2^k for k in [0, num_freqs) (log-sampled, matching the
     reference's log_sampling=True with max_freq_log2 = multires-1).
+
+    TPU note: computed as ONE [N, D] @ [D, 2LD] projection followed by a
+    phase-shifted sine — a broadcast-multiply/stack/reshape formulation
+    leaves a [N, L, 2, D] intermediate whose (4,128)-tiled layout wastes
+    125 of 128 lanes and cost 262ms per fine pass (profiled on v5e).
     """
     if num_freqs == 0:
         return x
-    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)  # [L]
-    xb = x[..., None, :] * freqs[:, None]                # [..., L, D]
-    # interleave sin/cos per frequency: [..., L, 2, D] -> [..., L*2*D]
-    enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)
-    enc = enc.reshape(*x.shape[:-1], 2 * num_freqs * x.shape[-1])
+    F, phase = _pe_projection(x.shape[-1], num_freqs)
+    enc = jnp.sin(
+        jnp.dot(x, F.astype(x.dtype), precision=jax.lax.Precision.HIGHEST)
+        + phase.astype(x.dtype)
+    )
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc
