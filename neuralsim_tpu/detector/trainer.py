@@ -127,6 +127,23 @@ def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,
     return jax.lax.scan(body, state, batches)
 
 
+def auto_scale_config(dc: DetectorConfig, world_size: int) -> DetectorConfig:
+    """Linear-scaling rule for data-parallel inner training: batch and LR
+    scale with the number of chips, warmup shrinks to keep the same warmup
+    epoch count — the capability of detectron2's auto_scale_workers
+    (reference utils/defaults.py:572-641), applied to mesh data-parallelism
+    instead of DDP workers."""
+    if world_size <= 1:
+        return dc
+    return dataclasses.replace(
+        dc,
+        images_per_batch=dc.images_per_batch * world_size,
+        base_lr=dc.base_lr * world_size,
+        warmup_iters=max(1, dc.warmup_iters // world_size),
+        max_iter=max(1, dc.max_iter // world_size),
+    )
+
+
 def cycle_batches(images, gt_boxes, gt_labels, gt_valid, n_steps: int,
                   batch_size: int, key) -> DetBatch:
     """Assemble [n_steps, batch_size, ...] training batches by shuffled

@@ -37,7 +37,9 @@ def _pe_projection(d: int, num_freqs: int):
                 col = (2 * k + trig) * d + dim
                 F[dim, col] = 2.0 ** k
                 phase[col] = 0.0 if trig == 0 else math.pi / 2.0
-    return jnp.asarray(F), jnp.asarray(phase)
+    # cache NUMPY values: caching jnp arrays would capture a tracer when the
+    # first call happens inside a jit/scan trace and leak it into later calls
+    return F, phase
 
 
 def positional_encoding(x, num_freqs: int, include_input: bool = True):
@@ -55,8 +57,8 @@ def positional_encoding(x, num_freqs: int, include_input: bool = True):
         return x
     F, phase = _pe_projection(x.shape[-1], num_freqs)
     enc = jnp.sin(
-        jnp.dot(x, F.astype(x.dtype), precision=jax.lax.Precision.HIGHEST)
-        + phase.astype(x.dtype)
+        jnp.dot(x, jnp.asarray(F, x.dtype), precision=jax.lax.Precision.HIGHEST)
+        + jnp.asarray(phase, x.dtype)
     )
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)

@@ -52,6 +52,15 @@ class NeuralSimRenderer:
         else:
             self.H, self.W, self.K = cfg.camera.height, cfg.camera.width, cfg.camera.K
 
+        # render_factor: downsample renders for speed (reference
+        # render_path's render_factor, run_nerf_noscale.py:216-221)
+        rf = cfg.data.render_factor
+        if rf and rf > 0:
+            self.H //= rf
+            self.W //= rf
+            self.K = self.K / rf
+            self.K[2, 2] = 1.0
+
         if models is not None:
             self.models = models
         else:

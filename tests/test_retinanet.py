@@ -176,3 +176,16 @@ def test_cycle_batches_shapes():
     assert set(np.asarray(b.images).reshape(-1).tolist()) <= set(
         np.asarray(imgs).reshape(-1).tolist()
     )
+
+
+def test_auto_scale_config():
+    from neuralsim_tpu.detector.trainer import auto_scale_config
+
+    base = DetectorConfig(images_per_batch=8, base_lr=2.5e-4, max_iter=50,
+                          warmup_iters=10)
+    assert auto_scale_config(base, 1) is base
+    scaled = auto_scale_config(base, 4)
+    assert scaled.images_per_batch == 32
+    assert abs(scaled.base_lr - 1e-3) < 1e-9
+    assert scaled.warmup_iters == 2
+    assert scaled.max_iter == 12
