@@ -47,7 +47,7 @@ from neuralsim_tpu.detector.trainer import (
     make_detector_apply,
 )
 from neuralsim_tpu.hypergrad.influence import grad_loss, inverse_hvp, mixed_grad_wrt_images
-from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_fwd, render_grad_psi_rev
+from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_rev
 from neuralsim_tpu.models.retinanet import DetBatch, generate_anchors, retinanet_loss
 from neuralsim_tpu.ops.render import render_poses, to8b
 from neuralsim_tpu.sampler.poses import draw_pose_noise, poses_from_noise, psi_to_probs

@@ -10,7 +10,7 @@ detector, and run the bilevel optimization.
 from __future__ import annotations
 
 import os
-import sys
+
 
 import jax
 import numpy as np

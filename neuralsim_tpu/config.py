@@ -11,7 +11,7 @@ format and flag names remain ingestible for entry-point parity
 from __future__ import annotations
 
 import dataclasses
-import shlex
+
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 

@@ -10,7 +10,7 @@ loaders + per-name metadata singletons, with idempotent re-registration.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List
+from typing import Callable, Dict, List
 
 
 class DatasetCatalog:

@@ -8,10 +8,9 @@ detector and draw the resulting boxes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from neuralsim_tpu.config import DetectorConfig

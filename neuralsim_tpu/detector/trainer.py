@@ -14,8 +14,7 @@ jitted program; batches are assembled on device from the renderer's output
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import List, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ box convention (XYXY, absolute pixels).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 

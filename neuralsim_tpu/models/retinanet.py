@@ -17,8 +17,7 @@ defaults: anchor sizes 32..512 x {2^0, 2^{1/3}, 2^{2/3}}, ratios
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Dict, List, NamedTuple, Sequence
+from typing import List, NamedTuple
 
 import flax.linen as nn
 import jax

@@ -71,7 +71,7 @@ def render_testset(models, dataset, net, rc, out_dir: str, key=None):
 def main(argv=None):
     from neuralsim_tpu.config import parse_cli
     from neuralsim_tpu.data.blender import load_linemod_data
-    from neuralsim_tpu.train_nerf import init_train_state, train_nerf
+    from neuralsim_tpu.train_nerf import train_nerf
     from neuralsim_tpu.utils.checkpoint import CheckpointManager, save_nerf_tar_compatible
     from neuralsim_tpu.utils.logging import save_args_snapshot
 
