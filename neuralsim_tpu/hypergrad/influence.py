@@ -74,6 +74,21 @@ def hvp(loss_fn: Callable, params, batch, v):
     return jax.jvp(g_fn, (params,), (v,))[1]
 
 
+def hvp_mean(loss_fn: Callable, params, batches, v):
+    """Hv averaged over a stack of batches (leading axis on every leaf) —
+    the reference's stoc_hessian=False loop (neural_sim_main.py:998-1016
+    without the one-batch break), scanned on-device."""
+
+    def body(acc, batch):
+        out = hvp(loss_fn, params, batch, v)
+        return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, v)
+    total, _ = jax.lax.scan(body, zero, batches)
+    n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+    return jax.tree_util.tree_map(lambda x: x / n, total)
+
+
 def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
                 damping: float = 1e-2, cg_iters: int = 10):
     """Approximate H^{-1} v (or the reference's stand-ins for it).

@@ -110,3 +110,21 @@ def test_tree_dot():
     a = {"x": jnp.array([1.0, 2.0]), "y": jnp.array([[3.0]])}
     b = {"x": jnp.array([4.0, 5.0]), "y": jnp.array([[2.0]])}
     assert float(tree_dot(a, b)) == 1 * 4 + 2 * 5 + 3 * 2
+
+
+def test_hvp_mean_over_batches(rng):
+    import jax
+    from neuralsim_tpu.hypergrad.influence import hvp_mean
+
+    d = 5
+    A1 = np.eye(d, dtype=np.float32) * 2
+    A2 = np.eye(d, dtype=np.float32) * 4
+    b = np.zeros(d, np.float32)
+    params = {"theta": jnp.array(rng.randn(d).astype(np.float32))}
+    v = {"theta": jnp.array(rng.randn(d).astype(np.float32))}
+    batches = (jnp.stack([jnp.array(A1), jnp.array(A2)]),
+               jnp.stack([jnp.array(b)] * 2))
+    out = hvp_mean(quad_loss, params, batches, v)
+    # mean of 2v and 4v = 3v
+    np.testing.assert_allclose(np.asarray(out["theta"]),
+                               3 * np.asarray(v["theta"]), rtol=1e-5)
