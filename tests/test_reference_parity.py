@@ -206,3 +206,38 @@ def test_full_hierarchical_render_parity(ref, converted, rng):
     np.testing.assert_allclose(
         np.asarray(got["z_std"]), want["z_std"].numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_pose_sampler_replay_parity(ref, rng):
+    """Reference sample_pose replaying a sample_log vs our poses_from_noise
+    on the same noise: c2w matrices must match."""
+    import torch
+
+    sys.modules.setdefault("cv2", mock.MagicMock())
+    import utils.load_LINEMOD_noscale as ln
+
+    import jax.numpy as jnp
+
+    from neuralsim_tpu.config import SamplerConfig
+    from neuralsim_tpu.sampler.poses import PoseNoise, poses_from_noise
+
+    k = 5
+    probs = np.array([0.05, 0.1, 0.2, 0.05, 0.3, 0.1, 0.15, 0.05], np.float32)
+    gumbel = rng.gumbel(size=(k, 8)).astype(np.float32)
+    uniform = rng.uniform(0, 1, k).astype(np.float32)
+    thetas = rng.uniform(85, 95, k).astype(np.float32)
+
+    sample_log = {
+        "gumbel_noises": [g.tolist() for g in gumbel],
+        "uniform_noises": [float(u) for u in uniform],
+        "thetas": [float(t) for t in thetas],
+    }
+    want = ln.sample_pose(
+        torch.tensor(probs), k, 0.1, sample_log
+    ).detach().numpy()
+
+    sc = SamplerConfig(gumbel_temperature=0.1)
+    noise = PoseNoise(jnp.array(gumbel), jnp.array(uniform), jnp.array(thetas))
+    got = np.asarray(poses_from_noise(jnp.array(probs), noise, sc))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
