@@ -47,7 +47,10 @@ from neuralsim_tpu.detector.trainer import (
     make_detector_apply,
 )
 from neuralsim_tpu.hypergrad.influence import grad_loss, inverse_hvp, mixed_grad_wrt_images
-from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_rev
+from neuralsim_tpu.hypergrad.render_grad import (
+    render_grad_psi_fwd,
+    render_grad_psi_rev,
+)
 from neuralsim_tpu.models.retinanet import DetBatch, generate_anchors, retinanet_loss
 from neuralsim_tpu.ops.render import render_poses, to8b
 from neuralsim_tpu.sampler.poses import draw_pose_noise, poses_from_noise, psi_to_probs
@@ -335,10 +338,19 @@ class BilevelDriver:
         # mirroring the reference's pose-loop truncation)
         cam = cfg.camera
         noise_ge = jax.tree_util.tree_map(lambda x: x[:n_ge], noise)
+        # exact fine pass for the gradient: sparse routing is a forward-side
+        # data-generation optimization; differentiating through its top_k
+        # scatter both degrades gradient fidelity and has tripped XLA
+        # backend RET_CHECKs under remat
+        rc_grad = dataclasses.replace(self.rc_test,
+                                      ray_chunk=bc.grad_ray_chunk,
+                                      fine_fraction=1.0)
+        grad_fn = (render_grad_psi_rev if bc.grad_mode == "rev"
+                   else render_grad_psi_fwd)
         with phase_timer("render_grad"):
-            grad_psi = render_grad_psi_rev(
+            grad_psi = grad_fn(
                 self.nerf_models, psi, noise_ge, grad_E,
-                cam.height, cam.width, cam.K, cfg.net, self.rc_test, sc,
+                cam.height, cam.width, cam.K, cfg.net, rc_grad, sc,
             )
 
         # [3.4] update psi + schedule

@@ -76,6 +76,9 @@ class RenderConfig:
     # run the MLP through the fused Pallas kernel (TPU only; forward path —
     # gradients recompute via the jnp reference implementation)
     use_pallas: bool = False
+    # positional-encoding formulation: projection (fast forward path) vs
+    # explicit sin/cos (differentiation-safe; see ops.encoding docstring)
+    pe_projection: bool = True
     # sparse fine pass: route only the top `fine_fraction` of rays (by
     # coarse occupancy) through the fine network; the rest keep coarse
     # outputs. 1.0 = exact hierarchical rendering (reference semantics).
@@ -186,6 +189,16 @@ class BilevelConfig:
     ihvp_damping: float = 1e-2
     cg_iters: int = 10
     grad_e_max_images: int = 100        # reference cap (neural_sim_main.py:876)
+    # psi render-gradient mode: "fwd" (8 JVPs, no residuals) | "rev"
+    # (remat reverse mode). fwd is the default on TPU: the remat reverse
+    # program combined with the matmul-formulated positional encoding trips
+    # an XLA v5e backend RET_CHECK (lsrav2/live_range_finder) as of round 1;
+    # rev costs ~3x fewer FLOPs and remains available where it compiles
+    grad_mode: str = "fwd"
+    # ray tile size for the gradient render; kept smaller than the forward
+    # chunk — large remat tiles have hit XLA backend register-allocation
+    # RET_CHECKs on v5e (live_range_finder) at 25k rays
+    grad_ray_chunk: int = 10000
 
 
 # --------------------------------------------------------------------------- #

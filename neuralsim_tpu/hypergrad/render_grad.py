@@ -54,7 +54,7 @@ def render_grad_psi_fwd(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
                         rc: RenderConfig, sc: SamplerConfig):
     """Forward-mode dL/dpsi: one JVP per psi component, no stored residuals."""
-    rc = dataclasses.replace(rc, remat=False)
+    rc = dataclasses.replace(rc, remat=False, pe_projection=False)
 
     def loss(p):
         return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)
@@ -70,7 +70,7 @@ def render_grad_psi_rev(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
                         rc: RenderConfig, sc: SamplerConfig):
     """Reverse-mode dL/dpsi with per-tile remat (memory-bounded backward)."""
-    rc = dataclasses.replace(rc, remat=True)
+    rc = dataclasses.replace(rc, remat=True, pe_projection=False)
 
     def loss(p):
         return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)

@@ -131,7 +131,7 @@ def nerf_apply(params: Params, x_pe, d_pe, net: NeRFNetConfig,
 
 def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
                  net: NeRFNetConfig, compute_dtype=jnp.float32,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, pe_projection: bool = True):
     """Encode and evaluate the field at sample points.
 
     Equivalent surface to the reference's run_network
@@ -154,11 +154,13 @@ def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
         raw = fused_nerf_mlp_pe(params, flat, dirs, net, compute_dtype)
         return raw.reshape(n, s, raw.shape[-1])
 
-    x_pe = flat if net.i_embed == -1 else positional_encoding(flat, net.multires)
+    x_pe = flat if net.i_embed == -1 else positional_encoding(
+        flat, net.multires, projection=pe_projection)
     d_pe = None
     if net.use_viewdirs:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
-        d_pe = dirs if net.i_embed == -1 else positional_encoding(dirs, net.multires_views)
+        d_pe = dirs if net.i_embed == -1 else positional_encoding(
+            dirs, net.multires_views, projection=pe_projection)
 
     raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
     return raw.reshape(n, s, raw.shape[-1])

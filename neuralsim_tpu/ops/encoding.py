@@ -42,24 +42,37 @@ def _pe_projection(d: int, num_freqs: int):
     return F, phase
 
 
-def positional_encoding(x, num_freqs: int, include_input: bool = True):
+def positional_encoding(x, num_freqs: int, include_input: bool = True,
+                        projection: bool = True):
     """gamma(x) for x[..., D] -> [..., D*(include + 2*num_freqs)].
 
     Frequencies are 2^k for k in [0, num_freqs) (log-sampled, matching the
     reference's log_sampling=True with max_freq_log2 = multires-1).
 
-    TPU note: computed as ONE [N, D] @ [D, 2LD] projection followed by a
-    phase-shifted sine — a broadcast-multiply/stack/reshape formulation
-    leaves a [N, L, 2, D] intermediate whose (4,128)-tiled layout wastes
-    125 of 128 lanes and cost 262ms per fine pass (profiled on v5e).
+    Two formulations, identical values:
+      projection=True  — ONE [N, D] @ [D, 2LD] projection + phase-shifted
+        sine. The fast forward path: the broadcast/stack/reshape version
+        leaves a [N, L, 2, D] intermediate whose (4,128)-tiled layout wastes
+        125 of 128 lanes (262ms per fine pass, profiled on v5e).
+      projection=False — the explicit sin/cos construction. Used under
+        differentiation: JVP/VJP of the projection form inside the tiled
+        render trips an XLA v5e backend RET_CHECK
+        (lsrav2/live_range_finder.cc:29) as of round 1.
     """
     if num_freqs == 0:
         return x
-    F, phase = _pe_projection(x.shape[-1], num_freqs)
-    enc = jnp.sin(
-        jnp.dot(x, jnp.asarray(F, x.dtype), precision=jax.lax.Precision.HIGHEST)
-        + jnp.asarray(phase, x.dtype)
-    )
+    if projection:
+        F, phase = _pe_projection(x.shape[-1], num_freqs)
+        enc = jnp.sin(
+            jnp.dot(x, jnp.asarray(F, x.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.asarray(phase, x.dtype)
+        )
+    else:
+        freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+        xb = x[..., None, :] * freqs[:, None]                # [..., L, D]
+        enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)
+        enc = enc.reshape(*x.shape[:-1], 2 * num_freqs * x.shape[-1])
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc

@@ -55,7 +55,8 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
     raw = query_points(models["coarse"], pts, viewdirs, net, compute_dtype,
-                       use_pallas=rc.use_pallas)
+                       use_pallas=rc.use_pallas,
+                       pe_projection=rc.pe_projection)
     rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
         raw, z_vals, rays_d, key=k_noise0,
         raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
@@ -117,7 +118,8 @@ def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
 
     fine_params = models.get("fine") or models["coarse"]
     raw = query_points(fine_params, pts, viewdirs, net, compute_dtype,
-                       use_pallas=rc.use_pallas)
+                       use_pallas=rc.use_pallas,
+                       pe_projection=rc.pe_projection)
     rgb_map, disp_map, acc_map, _, depth_map = raw2outputs(
         raw, z_all, rays_d, key=k_noise,
         raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
