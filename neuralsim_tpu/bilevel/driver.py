@@ -101,6 +101,11 @@ class BilevelDriver:
         self._val_grad_fn = jax.jit(self._val_grad_impl)
         self._ihvp_fn = jax.jit(self._ihvp_impl)
         self._grad_e_fn = jax.jit(self._grad_e_impl)
+        # MUST be jitted as one program: executed eagerly, the auto-jitted
+        # fragments of the differentiated render trip an XLA v5e backend
+        # RET_CHECK (lsrav2/live_range_finder.cc:29); the same computation
+        # under one jit compiles and runs fine
+        self._render_grad_fn = jax.jit(self._render_grad_impl)
 
     # ------------------------------------------------------------------ #
     # jitted stage implementations
@@ -118,6 +123,20 @@ class BilevelDriver:
 
     def _inner_train_impl(self, det_state, batches: DetBatch):
         return inner_train(det_state, batches, self.cfg.detector, self.anchors_cat)
+
+    def _render_grad_impl(self, psi, noise_g, grad_E_g):
+        cfg = self.cfg
+        bc = cfg.bilevel
+        cam = cfg.camera
+        rc_grad = dataclasses.replace(self.rc_test,
+                                      ray_chunk=bc.grad_ray_chunk,
+                                      fine_fraction=1.0)
+        grad_fn = (render_grad_psi_rev if bc.grad_mode == "rev"
+                   else render_grad_psi_fwd)
+        return grad_fn(
+            self.nerf_models, psi, noise_g, grad_E_g,
+            cam.height, cam.width, cam.K, cfg.net, rc_grad, cfg.sampler,
+        )
 
     def _det_loss_full(self, params, batch: DetBatch):
         total, _ = retinanet_loss(
@@ -342,15 +361,23 @@ class BilevelDriver:
         # data-generation optimization; differentiating through its top_k
         # scatter both degrades gradient fidelity and has tripped XLA
         # backend RET_CHECKs under remat
-        rc_grad = dataclasses.replace(self.rc_test,
-                                      ray_chunk=bc.grad_ray_chunk,
-                                      fine_fraction=1.0)
-        grad_fn = (render_grad_psi_rev if bc.grad_mode == "rev"
-                   else render_grad_psi_fwd)
         with phase_timer("render_grad"):
-            grad_psi = grad_fn(
-                self.nerf_models, psi, noise_ge, grad_E,
-                cam.height, cam.width, cam.K, cfg.net, rc_grad, sc,
+            # host-side grouping: grad over all images = weighted mean of
+            # per-group grads (psi_outer_loss is a mean over images) —
+            # bounds the compiled program size to grad_image_batch images
+            gb = max(1, bc.grad_image_batch)
+            grads, weights = [], []
+            for start in range(0, n_ge, gb):
+                stop = min(start + gb, n_ge)
+                noise_g = jax.tree_util.tree_map(
+                    lambda x: x[start:stop], noise_ge
+                )
+                g = self._render_grad_fn(psi, noise_g, grad_E[start:stop])
+                grads.append(g)
+                weights.append(stop - start)
+            total = sum(weights)
+            grad_psi = sum(
+                g * (w / total) for g, w in zip(grads, weights)
             )
 
         # [3.4] update psi + schedule

@@ -199,6 +199,11 @@ class BilevelConfig:
     # chunk — large remat tiles have hit XLA backend register-allocation
     # RET_CHECKs on v5e (live_range_finder) at 25k rays
     grad_ray_chunk: int = 10000
+    # images per render-gradient jit call: the gradient over all K images is
+    # the mean of per-group gradients (the loss is a mean over images), and
+    # differentiated render programs beyond ~4 image-tiles trip the same
+    # backend RET_CHECK; grouping keeps each compiled program small
+    grad_image_batch: int = 4
 
 
 # --------------------------------------------------------------------------- #

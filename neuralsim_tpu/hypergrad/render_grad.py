@@ -54,7 +54,11 @@ def render_grad_psi_fwd(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
                         rc: RenderConfig, sc: SamplerConfig):
     """Forward-mode dL/dpsi: one JVP per psi component, no stored residuals."""
-    rc = dataclasses.replace(rc, remat=False, pe_projection=False)
+    # f32 + explicit sin/cos under differentiation: gradient fidelity, and
+    # the JVP/VJP of the bf16-cast + PE-projection forward graph trips an
+    # XLA v5e backend RET_CHECK (lsrav2/live_range_finder.cc:29)
+    rc = dataclasses.replace(rc, remat=False, pe_projection=False,
+                             compute_dtype="float32")
 
     def loss(p):
         return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)
@@ -70,7 +74,8 @@ def render_grad_psi_rev(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
                         rc: RenderConfig, sc: SamplerConfig):
     """Reverse-mode dL/dpsi with per-tile remat (memory-bounded backward)."""
-    rc = dataclasses.replace(rc, remat=True, pe_projection=False)
+    rc = dataclasses.replace(rc, remat=True, pe_projection=False,
+                             compute_dtype="float32")
 
     def loss(p):
         return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)
