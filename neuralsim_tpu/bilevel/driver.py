@@ -79,8 +79,21 @@ class BilevelDriver:
                  key=None, object_class: int = 1,
                  background_images: Optional[np.ndarray] = None,
                  background_labels: Optional[np.ndarray] = None,
-                 output_dir: Optional[str] = None):
+                 output_dir: Optional[str] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
+        the production outer loop runs multi-chip (SURVEY.md §2.4 plan): the
+        K-pose render batch is sharded over 'data' via shard_map (each chip
+        renders its local poses, zero collectives needed), the inner-train
+        image batches shard over 'data' with replicated detector params (XLA
+        inserts the psum grad reduction), and NeRF/detector params plus the
+        val set are replicated once at placement time."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from neuralsim_tpu.parallel.mesh import replicate
+
+            nerf_models = replicate(nerf_models, mesh)
+            val_data = ValData(*replicate(tuple(val_data), mesh))
         self.nerf_models = nerf_models
         self.val_data = val_data
         self.object_class = object_class
@@ -96,7 +109,23 @@ class BilevelDriver:
         self.rc_test = cfg.render.test_mode()
         _, self.det_apply = make_detector_apply(cfg.detector)
 
-        self._render_fn = jax.jit(self._render_impl)
+        if mesh is None:
+            self._render_fn = jax.jit(self._render_impl)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            # embarrassingly parallel over poses: each chip builds and
+            # renders its slice of the (padded) K-pose batch locally
+            self._render_fn = jax.jit(shard_map(
+                self._render_impl, mesh=mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_rep=False,
+            ))
         self._inner_train_fn = jax.jit(self._inner_train_impl)
         self._val_grad_fn = jax.jit(self._val_grad_impl)
         self._ihvp_fn = jax.jit(self._ihvp_impl)
@@ -297,7 +326,21 @@ class BilevelDriver:
         self.key, k_noise, k_batch = jax.random.split(self.key, 3)
         noise = draw_pose_noise(k_noise, sc)
         with phase_timer("render"):
-            renders = self._render_fn(psi, noise)            # [K, H, W, 3]
+            if self.mesh is None:
+                renders = self._render_fn(psi, noise)        # [K, H, W, 3]
+            else:
+                # pad K up to a multiple of the data axis (edge-repeat),
+                # render sharded, slice the real poses back out
+                n_data = self.mesh.shape["data"]
+                k_real = noise.gumbel.shape[0]
+                k_pad = -(-k_real // n_data) * n_data
+                noise_p = jax.tree_util.tree_map(
+                    lambda x: jnp.concatenate(
+                        [x, jnp.broadcast_to(x[-1:], (k_pad - k_real,) + x.shape[1:])]
+                    ) if k_pad > k_real else x,
+                    noise,
+                )
+                renders = self._render_fn(psi, noise_p)[:k_real]
 
         if save_pngs:
             self._save_renders(renders, epoch)
@@ -319,6 +362,21 @@ class BilevelDriver:
             )
 
         # [2.2] inner fine-tune (warm start = reuse incoming det_state params)
+        if self.mesh is not None and dc.images_per_batch % self.mesh.shape["data"] == 0:
+            # data-parallel inner training: per-step image batch sharded
+            # over 'data', detector params replicated; the scalar loss
+            # reduction makes XLA psum the grads across chips
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batches = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, P(None, "data"))
+                ),
+                batches,
+            )
+            det_state = jax.device_put(
+                det_state, NamedSharding(self.mesh, P())
+            )
         with phase_timer("inner_train"):
             det_state, metrics = self._inner_train_fn(det_state, batches)
 
@@ -347,6 +405,12 @@ class BilevelDriver:
         # [3.2] grad_E on rendered-class images (reference caps at 100,
         # neural_sim_main.py:876)
         n_ge = min(n_render, bc.grad_e_max_images)
+        if self.mesh is not None:
+            # grad_E runs lax.map over the image axis (serial) — keep its
+            # inputs replicated rather than sharded on that axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            renders = jax.device_put(renders, NamedSharding(self.mesh, P()))
         with phase_timer("grad_E"):
             grad_E = self._grad_e_fn(
                 det_state.params, renders[:n_ge], gt_boxes[:n_ge],
