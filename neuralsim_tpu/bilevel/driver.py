@@ -285,9 +285,19 @@ class BilevelDriver:
                     m=jnp.asarray(restored["psi_opt"]["m"]),
                     v=jnp.asarray(restored["psi_opt"]["v"]),
                 )
+                # optimizer state round-trips as a flat leaf list (orbax/npz
+                # dict-ify NamedTuples, which can reorder leaves; a list is
+                # order-stable) and unflattens into the fresh state's
+                # structure — so SGD momentum and the warmup counter resume
+                # exactly instead of re-warming (ADVICE r1)
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(det_state.opt_state),
+                    [jnp.asarray(x)
+                     for x in restored["detector"]["opt_leaves"]],
+                )
                 det_state = DetectorState(
                     jax.tree_util.tree_map(jnp.asarray, restored["detector"]["params"]),
-                    jax.tree_util.tree_map(jnp.asarray, det_state.opt_state),
+                    opt_state,
                     jnp.asarray(restored["detector"]["step"]),
                 )
                 self.key = jnp.asarray(restored["key"])
@@ -312,7 +322,13 @@ class BilevelDriver:
             "psi": psi,
             "psi_opt": {"lr": psi_opt.lr, "step": psi_opt.step,
                         "m": psi_opt.m, "v": psi_opt.v},
-            "detector": {"params": det_state.params, "step": det_state.step},
+            "detector": {
+                "params": det_state.params,
+                "step": det_state.step,
+                "opt_leaves": list(
+                    jax.tree_util.tree_leaves(det_state.opt_state)
+                ),
+            },
             "key": self.key,
             "epoch": jnp.asarray(epoch, jnp.int32),
         }

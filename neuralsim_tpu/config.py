@@ -164,8 +164,20 @@ class DetectorConfig:
     topk_per_level: int = 1000
     max_detections: int = 100
     image_size: int = 128               # model input side (square pad/resize)
+    # pretrained init (reference --pretrain/--pretrain_weight,
+    # neural_sim_main.py:602-606): when pretrain_weight is set (or pretrain
+    # is true), init_detector loads the checkpoint via
+    # models.convert_retinanet, keeping every shape-matching tensor and
+    # freshly initializing the class-dependent head outputs — the same
+    # skip-mismatched-shapes semantics as detectron2's checkpointer when
+    # NUM_CLASSES differs from COCO.
     pretrain: bool = False
     pretrain_weight: Optional[str] = None
+    # which feature feeds the FPN P6 conv: "c5" (detectron2 layout — the
+    # reference's RetinaNet) or "p5" (torchvision retinanet_resnet50_fpn).
+    # Must match the checkpoint in pretrain_weight; see
+    # convert_retinanet.detect_p6_source.
+    fpn_p6_source: str = "c5"
 
 
 # --------------------------------------------------------------------------- #

@@ -37,7 +37,8 @@ class DetectorState(NamedTuple):
 
 def make_detector_apply(dc: DetectorConfig):
     """Returns (module, apply_fn(params, images))."""
-    model = RetinaNet(num_classes=dc.num_classes)
+    model = RetinaNet(num_classes=dc.num_classes,
+                      fpn_p6_source=dc.fpn_p6_source)
     return model, lambda params, images: model.apply({"params": params}, images)
 
 
@@ -72,9 +73,45 @@ def make_detector_optimizer(dc: DetectorConfig) -> optax.GradientTransformation:
 
 
 def init_detector(key, dc: DetectorConfig) -> DetectorState:
+    """Build the initial detector state. When ``dc.pretrain_weight`` is set
+    (or ``dc.pretrain`` is true with a weight path), the backbone/FPN/head
+    towers warm-start from the converted checkpoint — the reference's
+    model-zoo / --pretrain_weight init (neural_sim_main.py:602-606). Tensors
+    whose shapes don't match (the class-dependent cls_score when num_classes
+    differs from the checkpoint's) keep their fresh initialization, matching
+    detectron2's skip-incompatible-shapes checkpoint loading."""
     model, _ = make_detector_apply(dc)
     dummy = jnp.zeros((1, dc.image_size, dc.image_size, 3))
     params = dict(model.init(key, dummy)["params"])
+    if dc.pretrain_weight:
+        from neuralsim_tpu.models.convert_retinanet import (
+            detect_p6_source,
+            load_retinanet_checkpoint,
+            merge_pretrained,
+        )
+
+        converted = load_retinanet_checkpoint(dc.pretrain_weight)
+        ckpt_p6 = detect_p6_source(converted)
+        if ckpt_p6 != dc.fpn_p6_source:
+            raise ValueError(
+                f"checkpoint {dc.pretrain_weight} has P6 source {ckpt_p6!r} "
+                f"but DetectorConfig.fpn_p6_source={dc.fpn_p6_source!r}; set "
+                "fpn_p6_source to match (torchvision exports need 'p5')"
+            )
+        params, skipped = merge_pretrained(params, converted)
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "pretrained init: %d tensors kept fresh (shape mismatch): %s",
+                len(skipped), skipped,
+            )
+    elif dc.pretrain:
+        raise ValueError(
+            "detector.pretrain=True requires detector.pretrain_weight — the "
+            "model-zoo URL path needs network access; pre-export the "
+            "checkpoint to .npz and point pretrain_weight at it"
+        )
     opt = make_detector_optimizer(dc)
     trainable, _ = split_trainable(params, dc)
     return DetectorState(params, opt.init(trainable), jnp.zeros((), jnp.int32))

@@ -37,11 +37,21 @@ def psi_outer_loss(models, psi, noise: PoseNoise, grad_E,
                    sc: SamplerConfig):
     """L(psi) = mean_i <render(pose_i(psi)), grad_E_i>.
 
-    Its gradient equals the reference's averaged dL/dpsi
-    (``neural_sim_main.py:191``): grad_E plays the role of the cotangent on
-    rendered rgb. grad_E: [P, H, W, 3], P <= K poses (the reference caps the
-    pose loop at len(grad_E), run_nerf_noscale.py:142) — pass noise sliced to
-    the same P.
+    grad_E plays the role of the cotangent on rendered rgb; grad_E:
+    [P, H, W, 3], P <= K poses (the reference caps the pose loop at
+    len(grad_E), run_nerf_noscale.py:142) — pass noise sliced to the same P.
+
+    Two DELIBERATE deviations from the reference's dL/dpsi
+    (``neural_sim_main.py:142-143, 191``), see PARITY.md:
+      1. the gradient flows through softmax(psi/0.25) all the way to psi,
+         whereas the reference makes the post-softmax probs the autograd
+         leaf and applies dL/dprobs as if it were dL/dpsi (leaf trick —
+         arguably a bug; chain-ruling through the softmax is the correct
+         total derivative);
+      2. normalization is mean-over-images, whereas the reference averages
+         over per-chunk gradients (an extra factor of ceil(H*W/chunk)).
+    Users porting reference ``opt_lr`` values should expect a different
+    (better-conditioned) gradient scale.
     """
     probs = psi_to_probs(psi, sc)
     poses = poses_from_noise(probs, noise, sc)

@@ -11,6 +11,10 @@ models.retinanet.RetinaNet parameter tree:
     bias = beta - running_mean * scale
   - tower/predictor convs keep their per-level sharing (torchvision shares
     them too)
+  - FPN P6 layouts differ between sources: detectron2 feeds C5 (2048 ch)
+    into P6, torchvision feeds P5 (256 ch). ``detect_p6_source`` reads the
+    layout off the converted kernel; build the model with the matching
+    ``DetectorConfig.fpn_p6_source``.
 
 torchvision itself is NOT required — the converter consumes a plain
 {name: ndarray} mapping (torch tensors accepted), so checkpoints can be
@@ -95,6 +99,41 @@ def convert_torchvision_retinanet(sd: Mapping) -> Dict:
     head["cls_score"] = _conv(sd, "head.classification_head.cls_logits")
     head["bbox_pred"] = _conv(sd, "head.regression_head.bbox_reg")
     return params
+
+
+def detect_p6_source(params: Dict) -> str:
+    """Which feature the checkpoint's FPN P6 conv consumes, from its kernel
+    in-channels: 2048 -> "c5" (detectron2 LastLevelP6P7(in_feature="res5"),
+    the reference layout), 256 -> "p5" (torchvision LastLevelP6P7(256, 256)).
+    Build the model with the matching ``fpn_p6_source`` or loading fails."""
+    cin = int(params["fpn"]["p6"]["kernel"].shape[2])
+    if cin == 2048:
+        return "c5"
+    if cin == 256:
+        return "p5"
+    raise ValueError(f"unrecognized P6 kernel in-channels: {cin}")
+
+
+def merge_pretrained(params: Dict, converted: Dict):
+    """Copy every converted tensor whose shape matches into ``params``;
+    shape-mismatched leaves (the num_classes-dependent cls_score when the
+    checkpoint was trained on COCO) keep their fresh initialization —
+    detectron2-checkpointer semantics (the reference's NUM_CLASSES=6 resize,
+    neural_sim_main.py:602-617). Returns (merged, skipped_paths)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    skipped = []
+
+    def pick(path, fresh, ckpt):
+        if tuple(np.shape(fresh)) == tuple(np.shape(ckpt)):
+            return jnp.asarray(ckpt, dtype=jnp.asarray(fresh).dtype)
+        skipped.append(jax.tree_util.keystr(path))
+        return fresh
+
+    merged = jax.tree_util.tree_map_with_path(pick, params, converted)
+    return merged, skipped
 
 
 def load_retinanet_checkpoint(path: str) -> Dict:

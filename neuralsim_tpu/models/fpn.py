@@ -23,7 +23,14 @@ def _upsample_nearest_2x(x):
 
 
 class FPN(nn.Module):
+    """p6_source selects which feature feeds the P6 stride-2 conv:
+    "c5" (2048 ch) is detectron2's LastLevelP6P7(in_feature="res5") — the
+    reference's layout; "p5" (256 ch) is torchvision's LastLevelP6P7(256, 256)
+    — needed so real torchvision retinanet_resnet50_fpn checkpoints (whose p6
+    kernel is [3,3,256,256]) drop in without shape mismatch."""
+
     out_channels: int = 256
+    p6_source: str = "c5"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,8 +49,11 @@ class FPN(nn.Module):
         p3 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                      name="output3")(t3)
 
+        if self.p6_source not in ("c5", "p5"):
+            raise ValueError(f"p6_source must be 'c5' or 'p5', got {self.p6_source!r}")
         p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                     dtype=self.dtype, name="p6")(c5)
+                     dtype=self.dtype, name="p6")(
+                         c5 if self.p6_source == "c5" else p5)
         p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
                      dtype=self.dtype, name="p7")(nn.relu(p6))
         return [p3, p4, p5, p6, p7]

@@ -104,6 +104,7 @@ class RetinaNetHead(nn.Module):
 
 class RetinaNet(nn.Module):
     num_classes: int = 6
+    fpn_p6_source: str = "c5"   # "c5" = detectron2 layout, "p5" = torchvision
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,7 +119,8 @@ class RetinaNet(nn.Module):
         through the frozen backbone exactly as torch's requires_grad=False
         weights still propagate input gradients."""
         c3, c4, c5 = ResNet50(dtype=self.dtype, name="backbone")(images)
-        feats = FPN(dtype=self.dtype, name="fpn")(c3, c4, c5)
+        feats = FPN(p6_source=self.fpn_p6_source, dtype=self.dtype,
+                    name="fpn")(c3, c4, c5)
         return RetinaNetHead(self.num_classes, dtype=self.dtype, name="head")(feats)
 
 

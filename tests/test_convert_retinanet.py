@@ -9,10 +9,11 @@ from neuralsim_tpu.config import DetectorConfig
 from neuralsim_tpu.detector.trainer import init_detector, make_detector_apply
 from neuralsim_tpu.models.convert_retinanet import convert_torchvision_retinanet
 
-DC = DetectorConfig(num_classes=6, image_size=64)
+# real torchvision exports have the P6-from-P5 (256-in) layout
+DC = DetectorConfig(num_classes=6, image_size=64, fpn_p6_source="p5")
 
 
-def _fake_torchvision_sd(rng, num_classes=6):
+def _fake_torchvision_sd(rng, num_classes=6, p6_in=256):
     sd = {}
 
     def conv(name, cout, cin, k, bias=False):
@@ -51,7 +52,7 @@ def _fake_torchvision_sd(rng, num_classes=6):
     for i, c in enumerate((512, 1024, 2048)):
         conv(f"backbone.fpn.inner_blocks.{i}", 256, c, 1, bias=True)
         conv(f"backbone.fpn.layer_blocks.{i}", 256, 256, 3, bias=True)
-    conv("backbone.fpn.extra_blocks.p6", 256, 2048, 3, bias=True)
+    conv("backbone.fpn.extra_blocks.p6", 256, p6_in, 3, bias=True)
     conv("backbone.fpn.extra_blocks.p7", 256, 256, 3, bias=True)
 
     for i in range(4):
@@ -103,3 +104,68 @@ def test_bn_folding_math(rng):
         * sd["bn.weight"] + sd["bn.bias"]
     got = x * folded["scale"] + folded["bias"]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_detect_p6_source(rng):
+    from neuralsim_tpu.models.convert_retinanet import detect_p6_source
+
+    tv = convert_torchvision_retinanet(_fake_torchvision_sd(rng, p6_in=256))
+    d2 = convert_torchvision_retinanet(_fake_torchvision_sd(rng, p6_in=2048))
+    assert detect_p6_source(tv) == "p5"
+    assert detect_p6_source(d2) == "c5"
+
+    # detectron2-layout checkpoints drop into the default (c5) model
+    _, apply_fn = make_detector_apply(DetectorConfig(num_classes=6, image_size=64))
+    logits, _ = apply_fn(
+        jax.tree_util.tree_map(jnp.asarray, d2), jnp.zeros((1, 64, 64, 3))
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_init_detector_pretrained(rng, tmp_path):
+    """The reference's --pretrain_weight path (neural_sim_main.py:602-606):
+    init_detector warm-starts backbone/FPN/towers from a COCO-class
+    checkpoint, and the 6-class cls_score keeps its fresh init."""
+    import dataclasses
+
+    sd = _fake_torchvision_sd(rng, num_classes=80)
+    path = str(tmp_path / "retinanet_coco.npz")
+    np.savez(path, **sd)
+
+    dc = dataclasses.replace(DC, pretrain=True, pretrain_weight=path)
+    key = jax.random.PRNGKey(0)
+    state = init_detector(key, dc)
+    fresh = init_detector(key, DC)
+    converted = convert_torchvision_retinanet(sd)
+
+    # backbone + FPN + towers + bbox_pred come from the checkpoint
+    for section in ("backbone", "fpn"):
+        got = jax.tree_util.tree_leaves(state.params[section])
+        want = jax.tree_util.tree_leaves(converted[section])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head"]["bbox_pred"]["kernel"]),
+        converted["head"]["bbox_pred"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head"]["cls_tower0"]["kernel"]),
+        converted["head"]["cls_tower0"]["kernel"])
+
+    # the 80-class cls_score does NOT fit the 6-class head: fresh init kept
+    assert state.params["head"]["cls_score"]["kernel"].shape[-1] == 9 * 6
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head"]["cls_score"]["kernel"]),
+        np.asarray(fresh.params["head"]["cls_score"]["kernel"]))
+
+
+def test_init_detector_p6_mismatch_raises(rng, tmp_path):
+    import dataclasses
+
+    import pytest
+
+    sd = _fake_torchvision_sd(rng, p6_in=256)
+    path = str(tmp_path / "tv.npz")
+    np.savez(path, **sd)
+    dc = dataclasses.replace(DC, pretrain_weight=path, fpn_p6_source="c5")
+    with pytest.raises(ValueError, match="P6 source"):
+        init_detector(jax.random.PRNGKey(0), dc)
