@@ -54,7 +54,7 @@ from neuralsim_tpu.hypergrad.render_grad import (
 from neuralsim_tpu.models.retinanet import DetBatch, generate_anchors, retinanet_loss
 from neuralsim_tpu.ops.render import render_poses, to8b
 from neuralsim_tpu.sampler.poses import draw_pose_noise, poses_from_noise, psi_to_probs
-from neuralsim_tpu.utils.logging import ResultLog
+from neuralsim_tpu.utils.logging import ResultLog, map_result_str, torch_tensor_str
 from neuralsim_tpu.utils.profiling import phase_timer
 
 
@@ -167,20 +167,19 @@ class BilevelDriver:
             cam.height, cam.width, cam.K, cfg.net, rc_grad, cfg.sampler,
         )
 
-    def _det_loss_full(self, params, batch: DetBatch):
-        total, _ = retinanet_loss(
-            self.det_apply, params, batch, self.anchors_cat, self.cfg.detector
-        )
-        return total
-
-    def _det_loss_trainable(self, trainable, frozen, batch: DetBatch):
+    def _det_loss_trainable(self, trainable, frozen, batch: DetBatch,
+                            image_weight=None):
         """Loss as a function of the TRAINABLE subtree only — theta for every
         hypergradient quantity matches the reference's optimizer param_groups
         (frozen backbone excluded, gradients still flow through its
         activations to the image)."""
         from neuralsim_tpu.detector.trainer import merge_params
 
-        return self._det_loss_full(merge_params(trainable, frozen), batch)
+        total, _ = retinanet_loss(
+            self.det_apply, merge_params(trainable, frozen), batch,
+            self.anchors_cat, self.cfg.detector, image_weight=image_weight,
+        )
+        return total
 
     def _val_grad_impl(self, params):
         from neuralsim_tpu.detector.trainer import split_trainable
@@ -189,26 +188,38 @@ class BilevelDriver:
         trainable, frozen = split_trainable(params, self.cfg.detector)
         n = v.images.shape[0]
         bs = min(self.cfg.detector.images_per_batch, n)
-        n_batches = n // bs
+        n_batches = -(-n // bs)
         if n_batches <= 1:
             batch = DetBatch(v.images, v.gt_boxes, v.gt_labels, v.gt_valid)
             return jax.grad(
                 lambda tp: self._det_loss_trainable(tp, frozen, batch)
             )(trainable)
         # accumulate over scanned val batches (the reference accumulates
-        # .grad over the whole val loader, neural_sim_main.py:948-969);
-        # a leftover tail smaller than one batch is dropped, matching a
-        # drop_last loader
-        cut = n_batches * bs
+        # .grad over the ENTIRE val loader, neural_sim_main.py:948-969); a
+        # tail smaller than one batch is zero-PADDED and masked out of both
+        # the loss sums and the #fg normalizer, so it contributes exactly
+        # what a genuinely smaller final batch would — no images dropped
+        n_pad = n_batches * bs
+        mask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+
+        def pad(x):
+            if n_pad == n:
+                return x
+            fill = jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, fill], 0)
+
         stacked = DetBatch(
-            v.images[:cut].reshape((n_batches, bs) + v.images.shape[1:]),
-            v.gt_boxes[:cut].reshape((n_batches, bs) + v.gt_boxes.shape[1:]),
-            v.gt_labels[:cut].reshape((n_batches, bs) + v.gt_labels.shape[1:]),
-            v.gt_valid[:cut].reshape((n_batches, bs) + v.gt_valid.shape[1:]),
+            pad(v.images).reshape((n_batches, bs) + v.images.shape[1:]),
+            pad(v.gt_boxes).reshape((n_batches, bs) + v.gt_boxes.shape[1:]),
+            pad(v.gt_labels).reshape((n_batches, bs) + v.gt_labels.shape[1:]),
+            pad(v.gt_valid).reshape((n_batches, bs) + v.gt_valid.shape[1:]),
         )
+        masks = mask.reshape(n_batches, bs)
         return grad_loss(
-            lambda tp, b: self._det_loss_trainable(tp, frozen, b),
-            trainable, stacked,
+            lambda tp, bw: self._det_loss_trainable(
+                tp, frozen, bw[0], image_weight=bw[1]
+            ),
+            trainable, (stacked, masks),
         )
 
     def _ihvp_impl(self, params, batch: DetBatch, v):
@@ -339,7 +350,7 @@ class BilevelDriver:
         bc, sc, dc = cfg.bilevel, cfg.sampler, cfg.detector
 
         # [1] render K images from psi
-        self.key, k_noise, k_batch = jax.random.split(self.key, 3)
+        self.key, k_noise, k_batch, k_hvp = jax.random.split(self.key, 4)
         noise = draw_pose_noise(k_noise, sc)
         with phase_timer("render"):
             if self.mesh is None:
@@ -396,10 +407,11 @@ class BilevelDriver:
         with phase_timer("inner_train"):
             det_state, metrics = self._inner_train_fn(det_state, batches)
 
-        # [2.3] eval mAP on the fixed val set
+        # [2.3] eval mAP on the fixed val set; txt line bytes match the
+        # reference's `'epoch: {}' + str(result['bbox'])` (:851-853)
         with phase_timer("inference"):
             map_result = self.evaluate(det_state)
-        self.log.append(epoch, map_result)
+        self.log.append(epoch, map_result, text=map_result_str(map_result))
 
         psi_probs = np.asarray(psi_to_probs(psi, sc))
         record = {
@@ -412,10 +424,18 @@ class BilevelDriver:
             record.update(psi=psi, psi_opt=psi_opt)
             return record
 
-        # [3.1] inverse HVP
+        # [3.1] inverse HVP — the stochastic Hessian batch is a DEDICATED
+        # fresh draw from the train set (reference builds a fresh loader,
+        # neural_sim_main.py:995-1018), not the first batch of the shuffled
+        # inner-train schedule, so the Hessian estimate is decoupled from
+        # the inner training data order
         with phase_timer("inverse_hvp"):
             v = self._val_grad_fn(det_state.params)
-            hvp_batch = jax.tree_util.tree_map(lambda x: x[0], batches)
+            hvp_batch = jax.tree_util.tree_map(
+                lambda x: x[0],
+                cycle_batches(inputs, gt_boxes, gt_labels, gt_valid,
+                              1, dc.images_per_batch, k_hvp),
+            )
             ihvp = self._ihvp_fn(det_state.params, hvp_batch, v)
 
         # [3.2] grad_E on rendered-class images (reference caps at 100,
@@ -465,11 +485,18 @@ class BilevelDriver:
         lr = adjust_learning_rate(epoch, bc.opt_lr, bc.n_epochs)
         psi_opt = psi_opt._replace(lr=jnp.asarray(lr, jnp.float32))
 
-        self.log.append(epoch, {
-            "psi_softmax_T": np.asarray(
-                jax.nn.softmax(psi / sc.gumbel_temperature)
-            ),
-        })
+        # txt line bytes match the reference's
+        # `'epoch: {}' + str(torch_softmax(psi / gumble_T))` (:1208-1210)
+        psi_soft = np.asarray(jax.nn.softmax(psi / sc.gumbel_temperature))
+        self.log.append(epoch, {"psi_softmax_T": psi_soft},
+                        text=torch_tensor_str(psi_soft))
+
+        if save_pngs:
+            # withgrad/ debug dumps (reference run_nerf_noscale.py:200-206
+            # saves the grad-pass renders; here forward and grad pass share
+            # one graph + noise, so the forward renders are the same images
+            # whenever the forward pass ran exact — see PARITY.md)
+            self._save_renders(renders[:n_ge], epoch, subdir="withgrad")
         record.update(psi=psi, psi_opt=psi_opt,
                       grad_psi=np.asarray(grad_psi))
         return record
@@ -498,12 +525,12 @@ class BilevelDriver:
             })
         return coco_map(det_list, gt_list)
 
-    def _save_renders(self, renders, epoch: int):
+    def _save_renders(self, renders, epoch: int, subdir: str = ""):
         import imageio.v2 as imageio
 
         out = os.path.join(
             self.cfg.data.basedir, self.cfg.data.expname, "renderonly_path",
-            str(self.cfg.data.object_id),
+            str(self.cfg.data.object_id), subdir,
         )
         os.makedirs(out, exist_ok=True)
         arr = np.asarray(renders)

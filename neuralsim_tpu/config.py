@@ -258,6 +258,11 @@ class TrainConfig:
     i_weights: int = 10000
     i_testset: int = 50000
     i_video: int = 50000
+    # short-circuit: skip training, render the spiral path (or the test set
+    # with render_test) from the restored checkpoint and exit — reference
+    # run_nerf_noscale.py:582-602
+    render_only: bool = False
+    render_test: bool = False
 
 
 @dataclass(frozen=True)
@@ -361,6 +366,9 @@ _FLAG_MAP = {
     "i_weights": ("train", "i_weights"),
     "i_testset": ("train", "i_testset"),
     "i_video": ("train", "i_video"),
+    "render_only": ("train", "render_only"),
+    "render_test": ("train", "render_test"),
+    "n_iters": ("train", "n_iters"),      # extension: reference hardcodes 200k
     "n_samples_K": ("sampler", "n_samples_k"),
     "gumble_T": ("sampler", "gumbel_temperature"),
     "n_epochs": ("bilevel", "n_epochs"),
@@ -375,7 +383,7 @@ _FLAG_MAP = {
 # flags the reference accepts but that have no effect on this implementation
 # (llff/deepvoxels paths, netchunk-style serial chunking, tensorboard cadence)
 _IGNORED_FLAGS = {
-    "config", "netchunk", "no_reload", "render_only", "render_test",
+    "config", "netchunk", "no_reload",
     "shape", "factor", "no_ndc", "spherify", "llffhold", "i_img",
 }
 

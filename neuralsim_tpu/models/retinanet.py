@@ -159,10 +159,15 @@ class DetBatch(NamedTuple):
 
 
 def retinanet_loss(apply_fn, params, batch: DetBatch, anchors,
-                   dc: DetectorConfig):
+                   dc: DetectorConfig, image_weight=None):
     """Total loss (focal cls + smooth-L1 box), normalized by #fg anchors —
     the quantity the reference backprops in Trainer.run_step
-    (``neural_sim_main.py:555-589``, sum of detectron2's loss dict)."""
+    (``neural_sim_main.py:555-589``, sum of detectron2's loss dict).
+
+    ``image_weight``: optional [N] per-image weights. Weight 0 removes an
+    image from BOTH the loss sums and the #fg normalizer, so a zero-padded
+    batch is loss-identical to a genuinely smaller batch (used to pad the
+    val loader's tail batch instead of dropping it)."""
     logits, deltas = apply_fn(params, batch.images)  # [N,A,C],[N,A,4]
 
     def per_image(logit, delta, boxes, labels, valid):
@@ -184,6 +189,9 @@ def retinanet_loss(apply_fn, params, batch: DetBatch, anchors,
     cls_l, box_l, n_fg = jax.vmap(per_image)(
         logits, deltas, batch.gt_boxes, batch.gt_labels, batch.gt_valid
     )
+    if image_weight is not None:
+        w = image_weight.astype(cls_l.dtype)
+        cls_l, box_l, n_fg = cls_l * w, box_l * w, n_fg * w
     norm = jnp.maximum(jnp.sum(n_fg), 1.0)
     losses = {
         "loss_cls": jnp.sum(cls_l) / norm,

@@ -110,18 +110,26 @@ def sample_image_rays(key, image, pose, H: int, W: int, K, n_rand: int,
 
 def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
                key=None, n_iters: Optional[int] = None, mesh=None,
-               log_every: Optional[int] = None):
+               log_every: Optional[int] = None, hook=None,
+               state: Optional[TrainState] = None):
     """Host training loop over a LinemodDataset. Returns final TrainState.
 
     With a mesh, ray batches and grads shard over the data axis (pjit
     inserts the psum) — the multi-chip path exercised by dryrun_multichip.
+
+    ``hook(i, state)`` is called after every step with the 1-based iteration
+    — the carrier for the reference's periodic in-loop artifacts (.tar every
+    i_weights, spiral video every i_video, test-set renders every i_testset;
+    run_nerf_noscale.py:723-756). ``state`` warm-starts from a restored
+    checkpoint instead of a fresh init.
     """
     import numpy as np
 
     key = key if key is not None else jax.random.PRNGKey(0)
     cam = dataset.camera
     rc_train = dataclasses.replace(rc, near=cam.near, far=cam.far)
-    state = init_train_state(key, net, rc_train, tc)
+    if state is None:
+        state = init_train_state(key, net, rc_train, tc)
 
     step_fn = jax.jit(
         lambda s, ro, rd, tgt, k: train_step(s, ro, rd, tgt, k, net, rc_train, tc)
@@ -151,4 +159,6 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
         if log_every and (it % log_every == 0):
             print(f"[train] iter {it} loss {float(metrics['loss']):.5f} "
                   f"psnr {float(metrics['psnr']):.2f}")
+        if hook is not None:
+            hook(it + 1, state)
     return state, metrics

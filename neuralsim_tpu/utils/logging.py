@@ -20,12 +20,51 @@ class ResultLog:
         self.txt_path = os.path.join(output_dir, f"{name}.txt")
         self.jsonl_path = os.path.join(output_dir, f"{name}.jsonl")
 
-    def append(self, epoch: int, payload: Dict[str, Any]):
+    def append(self, epoch: int, payload: Dict[str, Any],
+               text: Optional[str] = None):
+        """``text`` overrides the str(payload) part of the txt line — used to
+        reproduce the reference's exact line bytes (mAP dict / torch tensor
+        repr) while the JSONL twin keeps the structured payload."""
         with open(self.txt_path, "a", encoding="utf-8") as f:
-            f.write(f"epoch: {epoch}" + str(payload) + "\n")
+            f.write(f"epoch: {epoch}" + (text if text is not None
+                                         else str(payload)) + "\n")
         record = {"epoch": epoch, "time": time.time(), **_jsonable(payload)}
         with open(self.jsonl_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
+
+
+def torch_tensor_str(vec) -> str:
+    """``str(torch.tensor(vec))`` — the exact byte format of the reference's
+    psi line (``neural_sim_main.py:1208-1210`` writes
+    ``str(torch_softmax(psi / gumble_T))``). Uses torch when importable
+    (baked into this environment at the host boundary); otherwise emulates
+    torch's fixed-point 1-D float repr (4 decimals, comma+space)."""
+    import numpy as np
+
+    arr = np.asarray(vec, np.float32)
+    try:
+        import torch
+
+        return str(torch.from_numpy(arr))
+    except Exception:
+        body = ", ".join(f"{v:.4f}" for v in arr.tolist())
+        return f"tensor([{body}])"
+
+
+def map_result_str(result: Dict[str, Any]) -> str:
+    """The reference's mAP line payload: ``str(result['bbox'])`` — a plain
+    dict of python floats (``neural_sim_main.py:851-853``). The reference
+    dict carries scalar metrics plus per-class ``AP-<name>`` floats; our
+    evaluator nests per-class values under ``AP-per-class`` — flatten them
+    to the reference's key style."""
+    out: Dict[str, float] = {}
+    for k, v in result.items():
+        if isinstance(v, dict):
+            for cls, ap in v.items():
+                out[f"AP-{cls}"] = float(ap)
+        else:
+            out[k] = float(v)
+    return str(out)
 
 
 def _jsonable(obj):

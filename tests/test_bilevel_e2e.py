@@ -86,6 +86,28 @@ def test_one_epoch_with_optimization(driver):
     np.testing.assert_allclose(record["psi_probs"].sum(), 1.0, rtol=1e-5)
 
 
+def test_save_renders_withgrad_layout(driver, tmp_path):
+    """PNG dump layout matches the reference: forward renders under
+    renderonly_path/{object_id}/ and grad-pass debug dumps under
+    .../withgrad/ (run_nerf_noscale.py:245-250, 200-206)."""
+    import dataclasses as dc
+
+    old_cfg = driver.cfg
+    driver.cfg = dc.replace(
+        old_cfg, data=dc.replace(old_cfg.data, basedir=str(tmp_path)))
+    try:
+        renders = jnp.full((2, 8, 8, 3), 0.5)
+        driver._save_renders(renders, 0)
+        driver._save_renders(renders, 0, subdir="withgrad")
+    finally:
+        driver.cfg = old_cfg
+    base = tmp_path / old_cfg.data.expname / "renderonly_path" / \
+        str(old_cfg.data.object_id)
+    assert (base / "000.png").exists() and (base / "001.png").exists()
+    assert (base / "withgrad" / "000.png").exists()
+    assert (base / "withgrad" / "001.png").exists()
+
+
 def test_epoch_without_optimization(driver):
     from neuralsim_tpu.bilevel.psi_init import psi_init
     from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init

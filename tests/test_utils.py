@@ -40,6 +40,27 @@ def test_result_log_formats(tmp_path):
     assert rec["psi"] == [0.0, 1.0, 2.0]
 
 
+def test_reference_exact_line_bytes(tmp_path):
+    """The txt lines reproduce the reference's exact byte formats:
+    mAP = 'epoch: {i}' + str(result dict of python floats) (:851-853),
+    psi = 'epoch: {i}' + str(torch tensor) (:1208-1210)."""
+    from neuralsim_tpu.utils.logging import map_result_str, torch_tensor_str
+
+    log = ResultLog(str(tmp_path))
+    psi_soft = np.full((8,), 0.125, np.float32)
+    log.append(0, {"AP": np.float64(50.25)},
+               text=map_result_str({"AP": np.float64(50.25)}))
+    log.append(0, {"psi_softmax_T": psi_soft}, text=torch_tensor_str(psi_soft))
+    lines = open(tmp_path / "save_result.txt").read().splitlines()
+    assert lines[0] == "epoch: 0{'AP': 50.25}"
+    import torch
+
+    assert lines[1] == "epoch: 0" + str(torch.from_numpy(psi_soft))
+    # emulation fallback agrees with torch for the common fixed-point case
+    body = ", ".join(f"{v:.4f}" for v in psi_soft.tolist())
+    assert lines[1] == f"epoch: 0tensor([{body}])"
+
+
 def test_save_args_snapshot(tmp_path):
     from neuralsim_tpu.config import NeuralSimConfig
 

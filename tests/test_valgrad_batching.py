@@ -41,3 +41,26 @@ def test_val_grad_scans_multiple_batches(tmp_path):
     # chunked inference evaluation also runs over the odd-sized val set
     result = drv.evaluate(det)
     assert "AP" in result
+
+    # the padded-and-masked tail contributes exactly what a genuinely
+    # smaller final batch would: the scanned gradient equals the host-loop
+    # accumulation over [batch(2), batch(2), batch(1)] — NO dropped images
+    # (reference accumulates over the entire val loader,
+    # neural_sim_main.py:948-969)
+    from neuralsim_tpu.detector.trainer import split_trainable
+    from neuralsim_tpu.models.retinanet import DetBatch
+
+    trainable, frozen = split_trainable(det.params, cfg.detector)
+    expected = None
+    for s, e in ((0, 2), (2, 4), (4, 5)):
+        batch = DetBatch(images[s:e], boxes[s:e], labels[s:e], valid[s:e])
+        gb = jax.grad(
+            lambda tp: drv._det_loss_trainable(tp, frozen, batch)
+        )(trainable)
+        expected = gb if expected is None else jax.tree_util.tree_map(
+            jnp.add, expected, gb
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
