@@ -4,9 +4,27 @@ Workload = the reference pipeline's hot loop (SURVEY.md §6): full-image
 hierarchical renders at 64 coarse + 128 importance samples per ray with the
 8x256 NeRF MLP pair — the per-outer-iteration image generation of Neural-Sim.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured rays/s against the 5M rays/s/chip north star
-(BASELINE.json; the reference publishes no numbers of its own).
+Two modes, BOTH reported in the one JSON line (VERDICT r1 #3):
+  - production (headline "value"): occupancy-grid ray culling at
+    hit_budget=0.25 over an object-like sparse scene — the data-generation
+    configuration the bilevel pipeline runs. Routed rays keep exact
+    reference semantics; a PSNR guard against the exact render is computed
+    in-process and asserted > 40 dB.
+  - exact ("exact_rays_per_sec"): every ray marched, reference semantics.
+
+The scene is a hand-CONSTRUCTED full-size MLP whose density is an exact
+solid box (zero outside): the compute per routed ray is identical to a real
+checkpoint's, and the sparsity (~15% of rays hit) matches the YCB-V
+single-object workload (objects fill 10-30%% of the frame). Random init
+would be diffusely dense everywhere and could not exercise culling; the
+published checkpoints are not in this environment (zero egress).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline is production rays/s against the 5M rays/s/chip north star
+(BASELINE.json). NOTE the north star is unreachable in exact mode on v5e
+physics: 304 MFLOP/ray x 5M rays/s = 1.5 PFLOP/s > the chip's ~0.2 PFLOP/s
+bf16 peak — see BASELINE.md for the MFU argument; empty-space skipping is
+the sanctioned algorithmic route.
 """
 
 import json
@@ -30,9 +48,56 @@ import numpy as np
 NORTH_STAR_RAYS_PER_SEC = 5.0e6
 
 
+def box_scene_params(net, key, half=0.06, density=80.0):
+    """Full-size NeRF MLP computing an EXACT box density:
+    sigma = density * relu(1 - 50 * sum_axes relu(|coord| - half)), zero
+    outside the box — hand-constructed weights (PE rows 0-2 are the raw
+    coords), layers 1..7 pass the 7 carrier units through identity blocks,
+    layer 7 computes the gate. Per-ray FLOPs equal a real checkpoint's."""
+    from neuralsim_tpu.models.nerf import init_nerf_params
+
+    params = init_nerf_params(key, net)
+    # small random rgb head (gray-ish object); zero everything else
+    params = {k: v * (0.01 if k.startswith(("feature", "views", "rgb"))
+                      else 0.0)
+              for k, v in params.items()}
+    in_ch = net.input_ch
+    w = net.netwidth
+    depth = net.netdepth
+
+    k0 = jnp.zeros((in_ch, w))
+    b0 = jnp.zeros((w,))
+    for axis in range(3):
+        k0 = k0.at[axis, 2 * axis].set(1.0)
+        k0 = k0.at[axis, 2 * axis + 1].set(-1.0)
+        b0 = b0.at[2 * axis].set(-half).at[2 * axis + 1].set(-half)
+    b0 = b0.at[6].set(1.0)
+    params["pts_0_kernel"], params["pts_0_bias"] = k0, b0
+
+    for i in range(1, depth):
+        off = in_ch if (i - 1) in net.skips else 0
+        k = jnp.zeros((off + w, w))
+        if i == depth - 1:
+            for u in range(6):
+                k = k.at[off + u, 0].set(-50.0)
+            k = k.at[off + 6, 0].set(1.0)
+        else:
+            for u in range(7):
+                k = k.at[off + u, u].set(1.0)
+        params[f"pts_{i}_kernel"] = k
+        params[f"pts_{i}_bias"] = jnp.zeros((w,))
+
+    params["alpha_kernel"] = jnp.zeros((w, 1)).at[0, 0].set(density)
+    params["alpha_bias"] = jnp.zeros((1,))
+    return params
+
+
 def main():
+    import dataclasses
+
     from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
-    from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+    from neuralsim_tpu.models.nerf import make_sigma_fn
+    from neuralsim_tpu.ops.occupancy import build_occupancy_grid
     from neuralsim_tpu.ops.render import render_poses
     from neuralsim_tpu.sampler.poses import pose_spherical
 
@@ -49,38 +114,61 @@ def main():
     )
     n_poses = 4
 
-    models = init_nerf_pipeline_params(jax.random.PRNGKey(0), net, rc.n_importance)
+    params = box_scene_params(net, jax.random.PRNGKey(0))
+    models = {"coarse": params, "fine": params}
     poses = pose_spherical(
         jnp.linspace(0.0, 300.0, n_poses), jnp.full((n_poses,), -30.0), 1.01
     )
+    grid = build_occupancy_grid(
+        make_sigma_fn(params, net), bbox_min=(-0.4,) * 3, bbox_max=(0.4,) * 3,
+        resolution=96, threshold=1e-2, dilate=2,
+    )
 
-    fn = jax.jit(lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
+    rc_prod = dataclasses.replace(rc, hit_budget=0.25)
+    fn_exact = jax.jit(
+        lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
+    fn_prod = jax.jit(
+        lambda m, p, g: render_poses(m, p, H, W, K, None, net, rc_prod,
+                                     grid=g)["rgb_map"])
 
-    def run_sync():
-        out = fn(models, poses)
+    def run_sync(fn, *args):
+        out = fn(*args)
         # some PJRT transports complete block_until_ready before execution
         # finishes; a host transfer of one element is a true barrier
         np.asarray(out[0, 0, 0])
         return out
 
-    # warmup/compile
-    out = run_sync()
-    assert np.isfinite(np.asarray(out)).all()
+    def best_time(fn, *args, reps=3):
+        run_sync(fn, *args)  # warmup/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_sync(fn, *args)
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     n_rays = n_poses * H * W
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_sync()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    rays_per_sec = n_rays / dt
+
+    out_exact = np.asarray(run_sync(fn_exact, models, poses))
+    out_prod = np.asarray(run_sync(fn_prod, models, poses, grid))
+    assert np.isfinite(out_exact).all() and np.isfinite(out_prod).all()
+    mse = float(np.mean((out_exact - out_prod) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"production cull diverges from exact: {psnr:.1f} dB"
+
+    dt_exact = best_time(fn_exact, models, poses)
+    dt_prod = best_time(fn_prod, models, poses, grid)
+    exact_rps = n_rays / dt_exact
+    prod_rps = n_rays / dt_prod
 
     print(json.dumps({
-        "metric": "render_rays_per_sec_per_chip_400sq_64c128f",
-        "value": round(rays_per_sec, 1),
+        "metric": "render_rays_per_sec_per_chip_400sq_64c128f_production",
+        "value": round(prod_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
+        "vs_baseline": round(prod_rps / NORTH_STAR_RAYS_PER_SEC, 4),
+        "exact_rays_per_sec": round(exact_rps, 1),
+        "production_psnr_vs_exact_db": round(psnr, 1),
+        "hit_budget": rc_prod.hit_budget,
     }))
 
 

@@ -75,7 +75,12 @@ class RenderConfig:
     remat: bool = False
     # run the MLP through the fused Pallas kernel (TPU only; forward path —
     # gradients recompute via the jnp reference implementation)
-    use_pallas: bool = False
+    # fused Pallas render kernel (wide-lane-PE MLP, kernels/raymarch.py) for
+    # forward renders. Default ON: query_points gates on pallas_available()
+    # so CPU runs fall back to the jnp path, and every gradient path forces
+    # this off (custom_vjp would keep gradients exact, but the scan-free
+    # strip programs are the verified-green shape on the v5e backend)
+    use_pallas: bool = True
     # positional-encoding formulation: projection (fast forward path) vs
     # explicit sin/cos (differentiation-safe; see ops.encoding docstring)
     pe_projection: bool = True
@@ -85,6 +90,12 @@ class RenderConfig:
     # YCB-V-style single-object scenes put >75% of rays on empty background,
     # so 0.25 cuts ~70% of render FLOPs with no visible change on-object.
     fine_fraction: float = 1.0
+    # occupancy-grid ray culling (production data-generation mode): when an
+    # OccupancyGrid is passed to the renderer and hit_budget < 1.0, only the
+    # top hit_budget fraction of rays (ranked by occupied-sample count) run
+    # the coarse+fine march; provably-empty rays get the analytic empty
+    # outputs. Routed rays follow the exact reference semantics. 1.0 = off.
+    hit_budget: float = 1.0
     near: float = 0.3103964843749999   # pipeline default: info.near - 0.5
     far: float = 1.9297681884765627    # pipeline default: info.far + 0.5
 
@@ -194,6 +205,12 @@ class BilevelConfig:
     opt_method: str = "momentum"        # sgd | momentum | Adam
     psi_pose_cats_mode: str = "5"       # 1~8 | uniform | two_13 | two_27 | three_123 | three_147
     optimization: bool = True
+    # psi parameterization: "categorical" (8-bin logits, reference live
+    # mode) | "gaussian" ((mean, std) azimuth — completes the reference's
+    # sample-only variant, load_LINEMOD_noscale.py:304-328)
+    psi_mode: str = "categorical"
+    gauss_mean_init: float = 157.5      # degrees; bin-5 center
+    gauss_std_init: float = 30.0
     # inverse-HVP solver: "onestep" reproduces the reference's live path
     # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" is the real CG
     # solver the reference left dead; "neumann" = 2v - Hv; "identity" = v.
@@ -201,12 +218,17 @@ class BilevelConfig:
     ihvp_damping: float = 1e-2
     cg_iters: int = 10
     grad_e_max_images: int = 100        # reference cap (neural_sim_main.py:876)
-    # psi render-gradient mode: "fwd" (8 JVPs, no residuals) | "rev"
-    # (remat reverse mode). fwd is the default on TPU: the remat reverse
-    # program combined with the matmul-formulated positional encoding trips
-    # an XLA v5e backend RET_CHECK (lsrav2/live_range_finder) as of round 1;
-    # rev costs ~3x fewer FLOPs and remains available where it compiles
-    grad_mode: str = "fwd"
+    # psi render-gradient mode:
+    #   "strips" (default): host loop over (image, pixel strip); every
+    #     compiled program is one scan-free single-tile reverse-mode render.
+    #     This is the only shape the CURRENT v5e backend compiles — its
+    #     register allocator RET_CHECKs (lsrav2/live_range_finder.cc:29) on
+    #     any lax.map/scan wrapping a differentiated render, which kills
+    #     both multi-tile remat reverse mode and the 8-JVP lax.map
+    #     (measured round 2: single-tile green, >=2 tiles/JVP-scan red).
+    #   "fwd": 8 JVPs via lax.map (no residuals) — round-1 default.
+    #   "rev": whole-group remat reverse mode.
+    grad_mode: str = "strips"
     # ray tile size for the gradient render; kept smaller than the forward
     # chunk — large remat tiles have hit XLA backend register-allocation
     # RET_CHECKs on v5e (live_range_finder) at 25k rays

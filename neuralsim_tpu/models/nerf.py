@@ -147,12 +147,19 @@ def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
     flat = pts.reshape(n * s, 3)
 
     if use_pallas and net.use_viewdirs and net.i_embed != -1:
-        # PE-fused kernel: encodings never materialize in HBM
-        from neuralsim_tpu.kernels.raymarch import fused_nerf_mlp_pe
+        from neuralsim_tpu.kernels.raymarch import (
+            fused_nerf_mlp_widepe,
+            pallas_available,
+        )
 
-        dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
-        raw = fused_nerf_mlp_pe(params, flat, dirs, net, compute_dtype)
-        return raw.reshape(n, s, raw.shape[-1])
+        if pallas_available():
+            # wide-lane-PE fused kernel: encodings and all inter-layer
+            # activations stay VMEM-resident (kernels/raymarch.py round-2);
+            # off-TPU (pallas_available False) falls through to the jnp path
+            dirs = jnp.broadcast_to(
+                viewdirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
+            raw = fused_nerf_mlp_widepe(params, flat, dirs, net, compute_dtype)
+            return raw.reshape(n, s, raw.shape[-1])
 
     x_pe = flat if net.i_embed == -1 else positional_encoding(
         flat, net.multires, projection=pe_projection)
@@ -164,3 +171,22 @@ def query_points(params: Params, pts, viewdirs: Optional[jnp.ndarray],
 
     raw = nerf_apply(params, x_pe, d_pe, net, compute_dtype=compute_dtype)
     return raw.reshape(n, s, raw.shape[-1])
+
+
+def make_sigma_fn(params: Params, net: NeRFNetConfig,
+                  compute_dtype=jnp.float32):
+    """[N, 3] positions -> [N] raw density from one NeRF MLP.
+
+    The alpha head consumes only the position trunk (reference
+    run_nerf_helpers.py:82-97), so density is view-independent — the rgb
+    head runs on a zero viewdir and is discarded. Used to build occupancy
+    grids (ops.occupancy) from the coarse model."""
+
+    def sigma_fn(pts):
+        dirs = jnp.zeros((pts.shape[0], 3), pts.dtype)
+        raw = query_points(params, pts[:, None, :],
+                           dirs if net.use_viewdirs else None,
+                           net, compute_dtype)
+        return raw[:, 0, 3]
+
+    return sigma_fn

@@ -1,0 +1,133 @@
+"""Occupancy-grid empty-space skipping (NerfAcc-family idea, TPU-shaped).
+
+The exact hierarchical render evaluates 64+192 MLP samples on EVERY ray,
+but YCB-V-style single-object scenes put >75% of rays on empty background
+(reference workload: ``optimization/utils/run_nerf_noscale.py:390-501``
+marches every ray unconditionally). This module builds a conservative
+binary occupancy grid from the density field once per scene, scores rays
+by how many of their coarse sample points land in occupied voxels, and
+routes only a static top-k budget of rays through the renderer — the rest
+get the analytic all-empty compositing outputs.
+
+TPU-first shape discipline: the budget is STATIC (top_k + gather/scatter),
+so the culled render is one fixed-shape jitted program; there is no
+per-ray dynamic control flow anywhere. Conservativeness (threshold well
+below visible alpha + voxel dilation covering stratified jitter) makes the
+cull lossless in practice; tests guard PSNR against the exact render.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccupancyGrid(NamedTuple):
+    occ: jnp.ndarray        # [R, R, R] float32 in {0, 1}
+    bbox_min: jnp.ndarray   # [3]
+    bbox_max: jnp.ndarray   # [3]
+
+
+def build_occupancy_grid(sigma_fn: Callable, bbox_min, bbox_max,
+                         resolution: int = 96, threshold: float = 1e-2,
+                         dilate: int = 2, subsamples: int = 2,
+                         chunk: int = 131072) -> OccupancyGrid:
+    """Conservative occupancy from a density field.
+
+    Args:
+      sigma_fn: [N, 3] positions -> [N] raw density (pre-ReLU ok; only the
+        positive part matters). For the production pipeline this is the
+        COARSE NeRF's alpha head, which is view-independent by construction
+        (run_nerf_helpers.py:82-97: alpha_linear consumes only the position
+        trunk).
+      threshold: raw-density cutoff. With per-sample step delta ~0.025
+        scene units, sigma=1e-2 gives alpha ~2.5e-4 — invisible.
+      dilate: voxels of max-pool dilation; covers intra-voxel density maxima
+        missed by subsampling AND stratified-jitter displacement of sample
+        points into neighbouring voxels.
+      subsamples: points per voxel axis (2 -> 8 probes per voxel).
+
+    Returns a grid marking a voxel occupied iff ANY probe has
+    sigma > threshold, then dilated.
+    """
+    bbox_min = jnp.asarray(bbox_min, jnp.float32)
+    bbox_max = jnp.asarray(bbox_max, jnp.float32)
+    r = resolution
+    vox = (bbox_max - bbox_min) / r
+
+    # probe lattice: subsample^3 offsets per voxel, cell-centered
+    ax = (jnp.arange(r)[:, None] + (jnp.arange(subsamples) + 0.5) / subsamples
+          ).reshape(-1)  # [r*s] fractional voxel coords per axis
+    xs = bbox_min[0] + ax * vox[0]
+    ys = bbox_min[1] + ax * vox[1]
+    zs = bbox_min[2] + ax * vox[2]
+    n_ax = r * subsamples
+    pts = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), -1)  # [n,n,n,3]
+    flat = pts.reshape(-1, 3)
+
+    n_total = flat.shape[0]
+    n_chunks = -(-n_total // chunk)
+    pad = n_chunks * chunk - n_total
+    flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)], 0)
+    sig = jax.lax.map(sigma_fn, flat.reshape(n_chunks, chunk, 3))
+    sig = sig.reshape(-1)[:n_total].reshape(n_ax, n_ax, n_ax)
+
+    # any probe above threshold -> voxel occupied (max-pool over subsamples)
+    occ = sig.reshape(r, subsamples, r, subsamples, r, subsamples)
+    occ = (occ.max(axis=(1, 3, 5)) > threshold).astype(jnp.float32)
+
+    for _ in range(dilate):
+        # 6-neighbour max-pool dilation; jnp.roll wrap-around only ADDS
+        # occupancy at opposite faces, which keeps the grid conservative
+        occ = jnp.maximum(occ, jnp.maximum(
+            jnp.maximum(jnp.roll(occ, 1, 0), jnp.roll(occ, -1, 0)),
+            jnp.maximum(
+                jnp.maximum(jnp.roll(occ, 1, 1), jnp.roll(occ, -1, 1)),
+                jnp.maximum(jnp.roll(occ, 1, 2), jnp.roll(occ, -1, 2)),
+            ),
+        ))
+    return OccupancyGrid(occ, bbox_min, bbox_max)
+
+
+def grid_lookup(grid: OccupancyGrid, pts) -> jnp.ndarray:
+    """Occupancy at [..., 3] positions; 0 outside the bbox."""
+    r = grid.occ.shape[0]
+    vox = (grid.bbox_max - grid.bbox_min) / r
+    rel = (pts - grid.bbox_min) / vox
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, r - 1)
+    inside = jnp.all((pts >= grid.bbox_min) & (pts < grid.bbox_max), axis=-1)
+    flat = (idx[..., 0] * r + idx[..., 1]) * r + idx[..., 2]
+    vals = jnp.take(grid.occ.reshape(-1), flat)
+    return vals * inside.astype(vals.dtype)
+
+
+def ray_hit_scores(grid: OccupancyGrid, rays_o, rays_d, z_vals) -> jnp.ndarray:
+    """Per-ray count of sample points in occupied voxels.
+
+    z_vals: [N, S] DETERMINISTIC sample depths (jitter displacement is
+    covered by the grid's dilation). Returns [N] float32 scores; 0 means
+    the ray provably (up to grid conservativeness) hits nothing.
+    """
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    return jnp.sum(grid_lookup(grid, pts), axis=-1)
+
+
+def empty_ray_outputs(n: int, rc) -> dict:
+    """The compositing outputs raw2outputs produces for a ray with zero
+    density everywhere: weights=0 -> rgb=0 (+1 white_bkgd), depth=0, acc=0,
+    disp=1/max(1e-10, 0)=1e10 (matching ops.volume.raw2outputs exactly)."""
+    rgb = jnp.ones((n, 3), jnp.float32) if rc.white_bkgd else jnp.zeros(
+        (n, 3), jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    out = {
+        "rgb_map": rgb,
+        "disp_map": jnp.full((n,), 1e10, jnp.float32),
+        "acc_map": zero,
+        "depth_map": zero,
+    }
+    if rc.n_importance > 0:
+        out.update(rgb0=rgb, disp0=jnp.full((n,), 1e10, jnp.float32),
+                   acc0=zero, z_std=zero)
+    return out

@@ -138,10 +138,52 @@ def _pad_to(x, n_target: int):
 
 
 def render_ray_batch(models, rays_o, rays_d, key,
-                     net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
+                     net: NeRFNetConfig, rc: RenderConfig,
+                     grid=None) -> Dict[str, jnp.ndarray]:
     """Render an arbitrary-length flat ray batch via lax.map over fixed-size
     tiles (the TPU replacement for the reference's batchify_rays python loop,
-    run_nerf_noscale.py:43-55). Fully jittable; output keeps input length."""
+    run_nerf_noscale.py:43-55). Fully jittable; output keeps input length.
+
+    With an OccupancyGrid and rc.hit_budget < 1.0, provably-empty rays are
+    culled BEFORE the march (ops.occupancy): only a static top-k budget of
+    rays — ranked by occupied-sample count — runs the full coarse+fine
+    pipeline with exact reference semantics; the rest get the analytic
+    empty-compositing outputs. Static shapes throughout (top_k + scatter)."""
+    if grid is not None and rc.hit_budget < 1.0:
+        return _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
+                                        net, rc)
+    return _render_ray_batch_dense(models, rays_o, rays_d, key, net, rc)
+
+
+def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
+                             net: NeRFNetConfig, rc: RenderConfig):
+    from neuralsim_tpu.ops.occupancy import empty_ray_outputs, ray_hit_scores
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+
+    n = rays_o.shape[0]
+    # deterministic probe depths; stratified-jitter displacement is covered
+    # by the grid's dilation
+    z_probe = stratified_z_vals(None, n, rc.n_samples, rc.near, rc.far,
+                                perturb=False, lindisp=rc.lindisp)
+    scores = ray_hit_scores(grid, rays_o, rays_d, z_probe)
+    k_sel = int(round(n * rc.hit_budget))
+    k_sel = max(8, min(n, -(-k_sel // 8) * 8))
+    sel = jax.lax.stop_gradient(jax.lax.top_k(scores, k_sel)[1])
+
+    out_sel = _render_ray_batch_dense(
+        models, rays_o[sel], rays_d[sel], key, net, rc
+    )
+    out = empty_ray_outputs(n, rc)
+    out = {k: out[k].at[sel].set(out_sel[k]) for k in out_sel}
+    # diagnostics: how many rays actually hit (guard against budget
+    # overflow — any hit ray beyond the budget silently degrades quality)
+    out["occ_hit_count"] = jnp.sum((scores > 0).astype(jnp.int32))
+    out["occ_budget"] = jnp.asarray(k_sel, jnp.int32)
+    return out
+
+
+def _render_ray_batch_dense(models, rays_o, rays_d, key,
+                            net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
     n = rays_o.shape[0]
     chunk = min(rc.ray_chunk, n) if n > 0 else rc.ray_chunk
     n_tiles = -(-n // chunk)
@@ -179,18 +221,27 @@ def render_ray_batch(models, rays_o, rays_d, key,
     return {k: v.reshape((n_pad,) + v.shape[2:])[:n] for k, v in out.items()}
 
 
+def _reshape_maps(out: Dict[str, jnp.ndarray], lead) -> Dict[str, jnp.ndarray]:
+    return {k: (v if k.startswith("occ_")
+                else v.reshape(lead + v.shape[1:]))
+            for k, v in out.items()}
+
+
 def render_image(models, c2w, H: int, W: int, K, key,
-                 net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
+                 net: NeRFNetConfig, rc: RenderConfig,
+                 grid=None) -> Dict[str, jnp.ndarray]:
     """Render one full image from a camera-to-world matrix."""
     rays_o, rays_d = get_rays(H, W, K, c2w)
     out = render_ray_batch(
-        models, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), key, net, rc
+        models, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), key, net, rc,
+        grid=grid,
     )
-    return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}
+    return _reshape_maps(out, (H, W))
 
 
 def render_poses(models, c2ws, H: int, W: int, K, key,
-                 net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
+                 net: NeRFNetConfig, rc: RenderConfig,
+                 grid=None) -> Dict[str, jnp.ndarray]:
     """Render a [P,4,4] (or [P,3,4]) stack of poses as ONE flat ray batch.
 
     This is the TPU replacement for the reference's per-pose host loop in
@@ -202,9 +253,10 @@ def render_poses(models, c2ws, H: int, W: int, K, key,
     p = c2ws.shape[0]
     ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m))(c2ws)
     out = render_ray_batch(
-        models, ro.reshape(-1, 3), rd.reshape(-1, 3), key, net, rc
+        models, ro.reshape(-1, 3), rd.reshape(-1, 3), key, net, rc,
+        grid=grid,
     )
-    return {k: v.reshape((p, H, W) + v.shape[1:]) for k, v in out.items()}
+    return _reshape_maps(out, (p, H, W))
 
 
 def to8b(x) -> "jnp.ndarray":

@@ -68,7 +68,28 @@ class NeuralSimRenderer:
                 key if key is not None else jax.random.PRNGKey(cfg.seed)
             )
 
+        # production empty-space skipping: build the occupancy grid once per
+        # scene from the coarse density field (rc.hit_budget < 1.0 opts in)
+        self.grid = None
+        if self.rc.hit_budget < 1.0:
+            self.grid = self.occupancy_grid()
+
         self._render_fn = jax.jit(self._render_impl)
+
+    def occupancy_grid(self, resolution: int = 96, threshold: float = 1e-2,
+                       dilate: int = 2, bbox_half: float = 0.4):
+        """Conservative occupancy grid from the coarse model's density
+        (cached by the constructor when hit_budget < 1.0). The default bbox
+        covers the YCB-V object region (objects are origin-centered with
+        diameters <= ~0.4 scene units, data/bop_convert.py tables)."""
+        from neuralsim_tpu.models.nerf import make_sigma_fn
+        from neuralsim_tpu.ops.occupancy import build_occupancy_grid
+
+        return build_occupancy_grid(
+            make_sigma_fn(self.models["coarse"], self.cfg.net),
+            bbox_min=(-bbox_half,) * 3, bbox_max=(bbox_half,) * 3,
+            resolution=resolution, threshold=threshold, dilate=dilate,
+        )
 
     def _load_models(self, key):
         cfg = self.cfg
@@ -101,7 +122,7 @@ class NeuralSimRenderer:
         poses = poses_from_noise(probs, noise, self.cfg.sampler)
         out = render_poses(
             self.models, poses, self.H, self.W, self.K, None,
-            self.cfg.net, self.rc,
+            self.cfg.net, self.rc, grid=self.grid,
         )
         return out["rgb_map"], out["disp_map"], out["acc_map"]
 
