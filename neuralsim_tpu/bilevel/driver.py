@@ -48,12 +48,18 @@ from neuralsim_tpu.detector.trainer import (
 )
 from neuralsim_tpu.hypergrad.influence import grad_loss, inverse_hvp, mixed_grad_wrt_images
 from neuralsim_tpu.hypergrad.render_grad import (
+    psi_poses,
     render_grad_psi_fwd,
     render_grad_psi_rev,
+    render_grad_psi_strips,
 )
 from neuralsim_tpu.models.retinanet import DetBatch, generate_anchors, retinanet_loss
 from neuralsim_tpu.ops.render import render_poses, to8b
-from neuralsim_tpu.sampler.poses import draw_pose_noise, poses_from_noise, psi_to_probs
+from neuralsim_tpu.sampler.poses import (
+    draw_pose_noise,
+    draw_pose_noise_gaussian,
+    psi_to_probs,
+)
 from neuralsim_tpu.utils.logging import ResultLog, map_result_str, torch_tensor_str
 from neuralsim_tpu.utils.profiling import phase_timer
 
@@ -109,22 +115,33 @@ class BilevelDriver:
         self.rc_test = cfg.render.test_mode()
         _, self.det_apply = make_detector_apply(cfg.detector)
 
+        # production empty-space skipping for the K-pose forward render
+        # (rc.hit_budget < 1.0 opts in); the GRADIENT render stays exact —
+        # differentiating through the cull's top_k scatter both degrades
+        # gradient fidelity and adds nothing (empty rays have zero grad_E
+        # leverage)
+        self.grid = None
+        if self.rc_test.hit_budget < 1.0:
+            from neuralsim_tpu.models.nerf import make_sigma_fn
+            from neuralsim_tpu.ops.occupancy import build_occupancy_grid
+
+            self.grid = build_occupancy_grid(
+                make_sigma_fn(nerf_models["coarse"], cfg.net),
+                bbox_min=(-0.4,) * 3, bbox_max=(0.4,) * 3,
+            )
+
         if mesh is None:
             self._render_fn = jax.jit(self._render_impl)
         else:
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
+            from neuralsim_tpu.parallel.mesh import shard_map_compat
 
             # embarrassingly parallel over poses: each chip builds and
             # renders its slice of the (padded) K-pose batch locally
-            self._render_fn = jax.jit(shard_map(
+            self._render_fn = jax.jit(shard_map_compat(
                 self._render_impl, mesh=mesh,
                 in_specs=(P(), P("data")), out_specs=P("data"),
-                check_rep=False,
             ))
         self._inner_train_fn = jax.jit(self._inner_train_impl)
         self._val_grad_fn = jax.jit(self._val_grad_impl)
@@ -135,6 +152,9 @@ class BilevelDriver:
         # RET_CHECK (lsrav2/live_range_finder.cc:29); the same computation
         # under one jit compiles and runs fine
         self._render_grad_fn = jax.jit(self._render_grad_impl)
+        # strip-mode compiled-program cache (one program serves every strip
+        # of every image across epochs)
+        self._strip_grad_cache: Dict = {}
 
     # ------------------------------------------------------------------ #
     # jitted stage implementations
@@ -142,11 +162,11 @@ class BilevelDriver:
 
     def _render_impl(self, psi, noise):
         cam = self.cfg.camera
-        probs = psi_to_probs(psi, self.cfg.sampler)
-        poses = poses_from_noise(probs, noise, self.cfg.sampler)
+        poses = psi_poses(psi, noise, self.cfg.sampler,
+                          self.cfg.bilevel.psi_mode)
         out = render_poses(
             self.nerf_models, poses, cam.height, cam.width, cam.K, None,
-            self.cfg.net, self.rc_test,
+            self.cfg.net, self.rc_test, grid=self.grid,
         )
         return out["rgb_map"]
 
@@ -165,6 +185,7 @@ class BilevelDriver:
         return grad_fn(
             self.nerf_models, psi, noise_g, grad_E_g,
             cam.height, cam.width, cam.K, cfg.net, rc_grad, cfg.sampler,
+            psi_mode=bc.psi_mode,
         )
 
     def _det_loss_trainable(self, trainable, frozen, batch: DetBatch,
@@ -275,8 +296,13 @@ class BilevelDriver:
         n_epochs = n_epochs if n_epochs is not None else bc.n_epochs
         save_pngs = cfg.data.save_pngs if save_pngs is None else save_pngs
 
-        psi = psi if psi is not None else psi_init(bc.psi_pose_cats_mode)
-        psi_opt = psi_optimizer_init(bc.opt_method, bc.opt_lr)
+        if psi is None:
+            psi = (jnp.array([bc.gauss_mean_init, bc.gauss_std_init],
+                             jnp.float32)
+                   if bc.psi_mode == "gaussian"
+                   else psi_init(bc.psi_pose_cats_mode))
+        psi_opt = psi_optimizer_init(bc.opt_method, bc.opt_lr,
+                                     dim=psi.shape[0])
         self.key, det_key = jax.random.split(self.key)
         det_state = detector_state or init_detector(det_key, cfg.detector)
         start_epoch = 0
@@ -351,7 +377,8 @@ class BilevelDriver:
 
         # [1] render K images from psi
         self.key, k_noise, k_batch, k_hvp = jax.random.split(self.key, 4)
-        noise = draw_pose_noise(k_noise, sc)
+        noise = (draw_pose_noise_gaussian(k_noise, sc)
+                 if bc.psi_mode == "gaussian" else draw_pose_noise(k_noise, sc))
         with phase_timer("render"):
             if self.mesh is None:
                 renders = self._render_fn(psi, noise)        # [K, H, W, 3]
@@ -359,7 +386,7 @@ class BilevelDriver:
                 # pad K up to a multiple of the data axis (edge-repeat),
                 # render sharded, slice the real poses back out
                 n_data = self.mesh.shape["data"]
-                k_real = noise.gumbel.shape[0]
+                k_real = jax.tree_util.tree_leaves(noise)[0].shape[0]
                 k_pad = -(-k_real // n_data) * n_data
                 noise_p = jax.tree_util.tree_map(
                     lambda x: jnp.concatenate(
@@ -413,7 +440,8 @@ class BilevelDriver:
             map_result = self.evaluate(det_state)
         self.log.append(epoch, map_result, text=map_result_str(map_result))
 
-        psi_probs = np.asarray(psi_to_probs(psi, sc))
+        psi_probs = (np.asarray(psi) if bc.psi_mode == "gaussian"
+                     else np.asarray(psi_to_probs(psi, sc)))
         record = {
             "epoch": epoch, "map": map_result,
             "psi_probs": psi_probs, "detector_state": det_state,
@@ -462,23 +490,42 @@ class BilevelDriver:
         # scatter both degrades gradient fidelity and has tripped XLA
         # backend RET_CHECKs under remat
         with phase_timer("render_grad"):
-            # host-side grouping: grad over all images = weighted mean of
-            # per-group grads (psi_outer_loss is a mean over images) —
-            # bounds the compiled program size to grad_image_batch images
-            gb = max(1, bc.grad_image_batch)
-            grads, weights = [], []
-            for start in range(0, n_ge, gb):
-                stop = min(start + gb, n_ge)
-                noise_g = jax.tree_util.tree_map(
-                    lambda x: x[start:stop], noise_ge
+            if bc.grad_mode == "strips":
+                # host loop over (image, pixel strip): every compiled
+                # program is ONE scan-free single-tile reverse-mode render.
+                # The current v5e backend RET_CHECKs on any lax.map/scan
+                # WRAPPING a differentiated render (multi-tile or multi-JVP
+                # programs, lsrav2/live_range_finder.cc:29 — measured:
+                # single-tile compiles, >=2 tiles fails); strip decomposition
+                # is exact because the outer loss is linear in pixels
+                rc_grad = dataclasses.replace(
+                    self.rc_test, fine_fraction=1.0)
+                grad_psi = render_grad_psi_strips(
+                    self.nerf_models, psi, noise_ge, grad_E[:n_ge],
+                    cfg.camera.height, cfg.camera.width, cfg.camera.K,
+                    cfg.net, rc_grad, cfg.sampler, psi_mode=bc.psi_mode,
+                    strip=bc.grad_ray_chunk,
+                    jit_cache=self._strip_grad_cache,
                 )
-                g = self._render_grad_fn(psi, noise_g, grad_E[start:stop])
-                grads.append(g)
-                weights.append(stop - start)
-            total = sum(weights)
-            grad_psi = sum(
-                g * (w / total) for g, w in zip(grads, weights)
-            )
+            else:
+                # host-side grouping: grad over all images = weighted mean
+                # of per-group grads (psi_outer_loss is a mean over images)
+                # — bounds the compiled program size to grad_image_batch
+                # images
+                gb = max(1, bc.grad_image_batch)
+                grads, weights = [], []
+                for start in range(0, n_ge, gb):
+                    stop = min(start + gb, n_ge)
+                    noise_g = jax.tree_util.tree_map(
+                        lambda x: x[start:stop], noise_ge
+                    )
+                    g = self._render_grad_fn(psi, noise_g, grad_E[start:stop])
+                    grads.append(g)
+                    weights.append(stop - start)
+                total = sum(weights)
+                grad_psi = sum(
+                    g * (w / total) for g, w in zip(grads, weights)
+                )
 
         # [3.4] update psi + schedule
         psi_opt, psi = psi_optimizer_update(psi_opt, psi, grad_psi)
@@ -486,8 +533,10 @@ class BilevelDriver:
         psi_opt = psi_opt._replace(lr=jnp.asarray(lr, jnp.float32))
 
         # txt line bytes match the reference's
-        # `'epoch: {}' + str(torch_softmax(psi / gumble_T))` (:1208-1210)
-        psi_soft = np.asarray(jax.nn.softmax(psi / sc.gumbel_temperature))
+        # `'epoch: {}' + str(torch_softmax(psi / gumble_T))` (:1208-1210);
+        # gaussian psi has no softmax — log the raw (mean, std) pair
+        psi_soft = (np.asarray(psi) if bc.psi_mode == "gaussian"
+                    else np.asarray(jax.nn.softmax(psi / sc.gumbel_temperature)))
         self.log.append(epoch, {"psi_softmax_T": psi_soft},
                         text=torch_tensor_str(psi_soft))
 

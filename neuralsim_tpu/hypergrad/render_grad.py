@@ -29,12 +29,28 @@ import jax.numpy as jnp
 
 from neuralsim_tpu.config import NeRFNetConfig, RenderConfig, SamplerConfig
 from neuralsim_tpu.ops.render import render_poses
-from neuralsim_tpu.sampler.poses import PoseNoise, poses_from_noise, psi_to_probs
+from neuralsim_tpu.sampler.poses import (
+    PoseNoise,
+    poses_from_noise,
+    poses_from_noise_gaussian,
+    psi_to_probs,
+)
+
+
+def psi_poses(psi, noise, sc: SamplerConfig, psi_mode: str = "categorical"):
+    """Differentiable psi -> poses map for either psi parameterization:
+    categorical 8-bin logits (the reference's live mode) or gaussian
+    (mean, std) over azimuth (completing the reference's sample-only
+    gaussian variant, load_LINEMOD_noscale.py:304-328)."""
+    if psi_mode == "gaussian":
+        return poses_from_noise_gaussian(psi, noise, sc)
+    probs = psi_to_probs(psi, sc)
+    return poses_from_noise(probs, noise, sc)
 
 
 def psi_outer_loss(models, psi, noise: PoseNoise, grad_E,
                    H: int, W: int, K, net: NeRFNetConfig, rc: RenderConfig,
-                   sc: SamplerConfig):
+                   sc: SamplerConfig, psi_mode: str = "categorical"):
     """L(psi) = mean_i <render(pose_i(psi)), grad_E_i>.
 
     grad_E plays the role of the cotangent on rendered rgb; grad_E:
@@ -53,8 +69,7 @@ def psi_outer_loss(models, psi, noise: PoseNoise, grad_E,
     Users porting reference ``opt_lr`` values should expect a different
     (better-conditioned) gradient scale.
     """
-    probs = psi_to_probs(psi, sc)
-    poses = poses_from_noise(probs, noise, sc)
+    poses = psi_poses(psi, noise, sc, psi_mode)
     out = render_poses(models, poses, H, W, K, None, net, rc)
     # sum over pixels of each image's <rgb, grad_E>, then mean over images
     return jnp.mean(jnp.sum(out["rgb_map"] * grad_E, axis=(1, 2, 3)))
@@ -62,32 +77,128 @@ def psi_outer_loss(models, psi, noise: PoseNoise, grad_E,
 
 def render_grad_psi_fwd(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
-                        rc: RenderConfig, sc: SamplerConfig):
+                        rc: RenderConfig, sc: SamplerConfig,
+                        psi_mode: str = "categorical"):
     """Forward-mode dL/dpsi: one JVP per psi component, no stored residuals."""
     # f32 + explicit sin/cos under differentiation: gradient fidelity, and
     # the JVP/VJP of the bf16-cast + PE-projection forward graph trips an
     # XLA v5e backend RET_CHECK (lsrav2/live_range_finder.cc:29)
     rc = dataclasses.replace(rc, remat=False, pe_projection=False,
-                             compute_dtype="float32")
+                             compute_dtype="float32", use_pallas=False)
 
     def loss(p):
-        return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)
+        return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc,
+                              psi_mode)
 
     basis = jnp.eye(psi.shape[0], dtype=psi.dtype)
-    # serial over the 8 tangent directions: 1x forward memory, 8x time —
-    # vmap would batch all 8 renders and multiply peak memory instead
+    # serial over the (8 categorical / 2 gaussian) tangent directions: 1x
+    # forward memory; vmap would batch all renders and multiply peak memory
     tangents = jax.lax.map(lambda v: jax.jvp(loss, (psi,), (v,))[1], basis)
     return tangents
 
 
 def render_grad_psi_rev(models, psi, noise: PoseNoise, grad_E,
                         H: int, W: int, K, net: NeRFNetConfig,
-                        rc: RenderConfig, sc: SamplerConfig):
+                        rc: RenderConfig, sc: SamplerConfig,
+                        psi_mode: str = "categorical"):
     """Reverse-mode dL/dpsi with per-tile remat (memory-bounded backward)."""
     rc = dataclasses.replace(rc, remat=True, pe_projection=False,
-                             compute_dtype="float32")
+                             compute_dtype="float32", use_pallas=False)
 
     def loss(p):
-        return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc)
+        return psi_outer_loss(models, p, noise, grad_E, H, W, K, net, rc, sc,
+                              psi_mode)
 
     return jax.grad(loss)(psi)
+
+
+def psi_strip_loss(models, psi, noise_1: PoseNoise, grad_E_strip, start: int,
+                   H: int, W: int, K, net: NeRFNetConfig, rc: RenderConfig,
+                   sc: SamplerConfig, psi_mode: str = "categorical"):
+    """<render(rays[start : start+S]), grad_E_strip> for ONE image.
+
+    The outer loss is LINEAR in pixels, so dL/dpsi over an image is the sum
+    of per-strip gradients — this is the single-strip term. ``start`` is a
+    STATIC python int: the compiled program slices the full ray grid at a
+    compile-time offset (one program per strip index, amortized by the jit
+    cache — the 100^2 pipeline default is exactly one strip per image).
+
+    Why this exact shape: the current v5e backend's register allocator
+    RET_CHECKs (lsrav2/live_range_finder.cc:29) on differentiated render
+    programs containing (a) any lax.map/scan wrapper — multi-tile remat
+    reverse mode, the 8-JVP lax.map — or (b) traced-offset dynamic slices
+    (scalar-address-calculation); measured round 2 by bisection. A
+    single-tile reverse program over a statically-sliced get_rays grid is
+    the verified-green formulation."""
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.render import render_ray_batch
+
+    pose = psi_poses(psi, noise_1, sc, psi_mode)[0]
+    rays_o, rays_d = get_rays(H, W, K, pose[:3, :4])
+    s = grad_E_strip.shape[0]
+    ro = rays_o.reshape(-1, 3)[start:start + s]
+    rd = rays_d.reshape(-1, 3)[start:start + s]
+    out = render_ray_batch(models, ro, rd, None, net, rc)
+    return jnp.sum(out["rgb_map"] * grad_E_strip)
+
+
+def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
+                           H: int, W: int, K, net: NeRFNetConfig,
+                           rc: RenderConfig, sc: SamplerConfig,
+                           psi_mode: str = "categorical",
+                           strip: int | None = None,
+                           jit_cache: dict | None = None):
+    """dL/dpsi = mean over images of sum over pixel strips of strip grads.
+
+    Host loop over (image, strip); every compiled program is one scan-free
+    single-tile reverse-mode render — the robust shape on the current v5e
+    backend. Mathematically exact (linearity in pixels; mean over images
+    mirrors the reference's normalization, neural_sim_main.py:191).
+
+    ``jit_cache``: optional dict reused across calls/epochs so the strip
+    program compiles once.
+
+    The NeRF params are CLOSED OVER by the jitted program, not passed as
+    arguments: the round-2 TPU bisect (V1/V3 green, V2 red) showed the v5e
+    register allocator also RET_CHECKs when the differentiated render takes
+    the model pytree as a jit argument — embedding it as a constant is the
+    verified-green formulation. The cache key carries the params' buffer
+    identity so a new model set compiles fresh programs.
+    """
+    n_img = grad_E.shape[0]
+    n_pix = H * W
+    strip = min(strip or rc.ray_chunk, n_pix)
+    n_strips = -(-n_pix // strip)
+    ge_flat = grad_E.reshape(n_img, n_pix, 3)
+
+    cache = jit_cache if jit_cache is not None else {}
+    # buffer identity of the closed-over params (stable while the caller —
+    # the driver — holds the model pytree alive)
+    models_id = id(jax.tree_util.tree_leaves(models)[0])
+
+    def strip_fn(start: int, s: int):
+        # one compiled program per (start, length); the tail strip is its
+        # own (smaller) program — no padding, no dynamic offsets
+        key = ("strip_grad", models_id, start, s, H, W, psi_mode)
+        if key not in cache:
+            rc_strip = dataclasses.replace(
+                rc, remat=False, pe_projection=False,
+                compute_dtype="float32", ray_chunk=s, use_pallas=False)
+            cache[key] = jax.jit(
+                lambda p, nz, ge: jax.grad(
+                    lambda pp: psi_strip_loss(models, pp, nz, ge, start, H,
+                                              W, K, net, rc_strip, sc,
+                                              psi_mode)
+                )(p)
+            )
+        return cache[key]
+
+    total = jnp.zeros_like(psi)
+    for i in range(n_img):
+        noise_1 = jax.tree_util.tree_map(lambda x: x[i:i + 1], noise)
+        for si in range(n_strips):
+            start = si * strip
+            s = min(strip, n_pix - start)
+            ge = ge_flat[i, start:start + s]
+            total = total + strip_fn(start, s)(psi, noise_1, ge)
+    return total / n_img

@@ -59,3 +59,19 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map across JAX API generations: the replication-check kwarg was
+    renamed check_rep -> check_vma when shard_map moved out of experimental;
+    we always disable it (renderer outputs are genuinely device-varying)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax: experimental namespace only
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

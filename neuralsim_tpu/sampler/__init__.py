@@ -3,10 +3,13 @@ from neuralsim_tpu.sampler.gumbel import (
     gumbel_softmax_expectation,
 )
 from neuralsim_tpu.sampler.poses import (
+    GaussianPoseNoise,
     PoseNoise,
     draw_pose_noise,
+    draw_pose_noise_gaussian,
     pose_spherical,
     poses_from_noise,
+    poses_from_noise_gaussian,
     sample_poses,
     sample_poses_gaussian,
     psi_to_probs,
@@ -15,10 +18,13 @@ from neuralsim_tpu.sampler.poses import (
 __all__ = [
     "gumbel_noise",
     "gumbel_softmax_expectation",
+    "GaussianPoseNoise",
     "PoseNoise",
     "draw_pose_noise",
+    "draw_pose_noise_gaussian",
     "pose_spherical",
     "poses_from_noise",
+    "poses_from_noise_gaussian",
     "sample_poses",
     "sample_poses_gaussian",
     "psi_to_probs",

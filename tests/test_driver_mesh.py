@@ -87,9 +87,14 @@ def test_mesh_epoch_runs_and_is_sharded(records):
 
 def test_mesh_matches_single_device_psi(records):
     rec1, rec8 = records
+    # atol covers f32 summation-order noise on the near-zero components:
+    # the sharded inner train psum-reduces grads in a different order, and
+    # that ~1e-7 jitter propagates through 50 steps + the mixed partial.
+    # The discriminating signal is the large components (1e-2..1e+1),
+    # which rtol holds to 2e-3.
     np.testing.assert_allclose(
         np.asarray(rec1["grad_psi"]), np.asarray(rec8["grad_psi"]),
-        rtol=2e-3, atol=1e-9,
+        rtol=2e-3, atol=2e-6,
     )
     np.testing.assert_allclose(
         np.asarray(rec1["psi"]), np.asarray(rec8["psi"]), rtol=1e-5, atol=1e-7

@@ -1,0 +1,86 @@
+"""psi render-gradient modes: the strip-decomposed host-loop gradient (the
+scan-free shape the current v5e backend requires) is EXACTLY the whole-image
+reverse-mode gradient, for both psi parameterizations."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsim_tpu.config import NeRFNetConfig, RenderConfig, SamplerConfig
+from neuralsim_tpu.hypergrad.render_grad import (
+    render_grad_psi_fwd,
+    render_grad_psi_rev,
+    render_grad_psi_strips,
+)
+from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+from neuralsim_tpu.sampler.poses import (
+    draw_pose_noise,
+    draw_pose_noise_gaussian,
+)
+
+NET = NeRFNetConfig(netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=16,
+                    skips=(0,), multires=2, multires_views=1)
+RC = RenderConfig(n_samples=4, n_importance=4, ray_chunk=4096, near=0.5,
+                  far=2.0).test_mode()
+SC = SamplerConfig()
+H = W = 12
+K = np.array([[15.0, 0, 6.0], [0, 15.0, 6.0], [0, 0, 1.0]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    models = init_nerf_pipeline_params(jax.random.PRNGKey(0), NET,
+                                       RC.n_importance)
+    grad_E = jax.random.normal(jax.random.PRNGKey(1), (3, H, W, 3)) * 1e-2
+    return models, grad_E
+
+
+def test_strips_match_rev_categorical(scene):
+    models, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32).at[4].set(1.0)
+    noise = draw_pose_noise(jax.random.PRNGKey(2), SC, num_k=3)
+
+    g_rev = np.asarray(render_grad_psi_rev(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC))
+    # strip smaller than one image -> multiple strips per image, padded tail
+    g_strips = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=50))
+    np.testing.assert_allclose(g_strips, g_rev, rtol=1e-4, atol=1e-7)
+
+    # one-strip-per-image path too
+    g_strips1 = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=H * W))
+    np.testing.assert_allclose(g_strips1, g_rev, rtol=1e-4, atol=1e-7)
+
+
+def test_strips_match_fwd_gaussian(scene):
+    models, grad_E = scene
+    psi = jnp.array([157.5, 20.0], jnp.float32)
+    noise = draw_pose_noise_gaussian(jax.random.PRNGKey(3), SC, num_k=3)
+
+    g_fwd = np.asarray(render_grad_psi_fwd(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        psi_mode="gaussian"))
+    g_strips = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        psi_mode="gaussian", strip=64))
+    assert g_strips.shape == (2,)
+    np.testing.assert_allclose(g_strips, g_fwd, rtol=1e-4, atol=1e-7)
+
+
+def test_strip_jit_cache_reused(scene):
+    models, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32)
+    noise = draw_pose_noise(jax.random.PRNGKey(4), SC, num_k=3)
+    cache = {}
+    render_grad_psi_strips(models, psi, noise, grad_E, H, W, K, NET, RC, SC,
+                           strip=64, jit_cache=cache)
+    # one program per strip offset (144 px at strip 64 -> 64+64+16), shared
+    # across all images and reused across calls
+    assert len(cache) == 3
+    render_grad_psi_strips(models, psi, noise, grad_E, H, W, K, NET, RC, SC,
+                           strip=64, jit_cache=cache)
+    assert len(cache) == 3

@@ -136,3 +136,39 @@ def test_psi_to_probs_presets():
         assert psi.shape == (8,)
         probs = psi_to_probs(psi, SC)
         np.testing.assert_allclose(float(jnp.sum(probs)), 1.0, rtol=1e-5)
+
+
+def test_gaussian_psi_reparam_gradients():
+    """poses_from_noise_gaussian: reference-semantics wrap (phi in [0,360)),
+    structure identical to pose_spherical, and reparameterized gradients to
+    BOTH mean and std match finite differences."""
+    from neuralsim_tpu.sampler.poses import (
+        draw_pose_noise_gaussian,
+        pose_spherical,
+        poses_from_noise_gaussian,
+    )
+
+    noise = draw_pose_noise_gaussian(jax.random.PRNGKey(7), SC, num_k=16)
+    psi = jnp.array([157.5, 30.0], jnp.float32)
+    poses = poses_from_noise_gaussian(psi, noise, SC)
+    assert poses.shape == (16, 4, 4)
+
+    phis = np.mod(157.5 + 30.0 * np.asarray(noise.eps), 360.0)
+    expected = pose_spherical(noise.theta, jnp.asarray(phis) - 180.0, SC.radius)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+    w = jax.random.normal(jax.random.PRNGKey(8), (16, 3))
+
+    def f(p):
+        ps = poses_from_noise_gaussian(p, noise, SC)
+        return jnp.sum(ps[:, :3, 3] * w)
+
+    g = np.asarray(jax.grad(f)(psi))
+    assert np.isfinite(g).all() and np.abs(g).max() > 1e-4
+    eps = 1e-2
+    for idx in (0, 1):
+        e = np.zeros(2, np.float32)
+        e[idx] = eps
+        fd = (f(psi + e) - f(psi - e)) / (2 * eps)
+        np.testing.assert_allclose(g[idx], float(fd), rtol=5e-2, atol=5e-4)
