@@ -3,8 +3,14 @@
 Replaces detectron2's compiled C++/CUDA NMS (SURVEY.md §2.3) with a
 jit-compilable iterative scheme: ``max_out`` rounds of pick-argmax /
 suppress-overlaps over a score vector — static shapes, no host syncs,
-vmappable over the batch. O(max_out * N) IoU work on the VPU, which at
-N ~ a few thousand post-top-k candidates is negligible next to the backbone.
+vmappable over the batch.
+
+The pick's IoU row is computed ON THE FLY each round (one [N] VPU
+expression against the picked box) instead of materializing the [N, N]
+pairwise matrix up front: at the detector's post-top-k scale
+(N ~ 5 levels x 1000) the [5000, 5000] f32 matrix was 100 MB of HBM plus a
+traced-row gather per scan step — the round-1 compile-time/memory hazard
+(ROADMAP #5). O(max_out * N) compute, O(N) memory.
 """
 
 from __future__ import annotations
@@ -12,7 +18,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from neuralsim_tpu.ops.boxes import pairwise_iou
+
+def _iou_one_vs_all(box, boxes):
+    """IoU of one XYXY box against [N, 4] boxes -> [N]."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = jnp.maximum(box[2] - box[0], 0.0) * jnp.maximum(box[3] - box[1], 0.0)
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    union = area + areas - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-10), 0.0)
 
 
 def nms(boxes, scores, iou_threshold: float, max_out: int):
@@ -28,7 +46,6 @@ def nms(boxes, scores, iou_threshold: float, max_out: int):
       keep_valid: [max_out] bool — False for padded tail picks.
     """
     n = boxes.shape[0]
-    iou = pairwise_iou(boxes, boxes)  # [N, N]
 
     def body(carry, _):
         live_scores = carry
@@ -36,7 +53,7 @@ def nms(boxes, scores, iou_threshold: float, max_out: int):
         best_score = live_scores[best]
         valid = best_score > -jnp.inf
         # suppress overlaps with the pick (including itself)
-        suppress = iou[best] > iou_threshold
+        suppress = _iou_one_vs_all(boxes[best], boxes) > iou_threshold
         suppress = suppress | (jnp.arange(n) == best)
         live_scores = jnp.where(
             valid & suppress, -jnp.inf, live_scores
