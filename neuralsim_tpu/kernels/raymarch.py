@@ -332,6 +332,235 @@ def _pe_bwd(net, compute_dtype, tile, res, g):
 fused_nerf_mlp_pe.defvjp(_pe_fwd, _pe_bwd)
 
 
+# --------------------------------------------------------------------- #
+# Wide-lane PE kernel — the winning formulation (round-2)
+# --------------------------------------------------------------------- #
+#
+# The round-1 PE fusion decomposed PE(x) @ W into 2L+1 skinny K=3 matmuls
+# (measured loss: MXU starvation). This variant builds the WHOLE encoding
+# as one [T, P]-lane tile with exactly two cheap ops:
+#
+#   X  = pts @ SEL            one [T,3]@[3,P] matmul (SEL = 0/1 coordinate
+#                             selector, so lane j holds x[m_j])
+#   pe = mask*X + (1-mask)*sin(X*freq + phase)    one fused VPU expression
+#
+# using sin(y + pi/2) == cos(y). Lane order matches the reference Embedder
+# exactly ([x, sin 2^0 x, cos 2^0 x, ...], run_nerf_helpers.py:18-66); the
+# pad lanes (63->64, 27->32) are zero and hit zero rows added to the
+# first-layer / views weights, so results are bit-identical in structure
+# to nerf_apply. The MLP then runs with activations VMEM-resident as in
+# _mlp_kernel. HBM per sample: 12B pts + 12B dirs in, 16B raw out — vs the
+# XLA path's PE materialization + per-layer [T, 256] round trips.
+
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+@functools.lru_cache(maxsize=16)
+def _wide_pe_consts(d: int, n_freqs: int, pad_to: int):
+    """(SEL [d,P], freq [1,P], phase [1,P], raw_mask [1,P]) numpy constants
+    such that mask*X + (1-mask)*sin(X*freq+phase) with X = x @ SEL equals
+    positional_encoding(x, n_freqs) in lanes [0, d*(1+2L)) and 0 after."""
+    import math
+
+    import numpy as np
+
+    P = pad_to
+    sel = np.zeros((d, P), np.float32)
+    freq = np.zeros((1, P), np.float32)
+    phase = np.zeros((1, P), np.float32)
+    mask = np.zeros((1, P), np.float32)
+    for dim in range(d):
+        sel[dim, dim] = 1.0
+        mask[0, dim] = 1.0
+    col = d
+    for k in range(n_freqs):
+        for trig in range(2):  # 0 = sin, 1 = cos
+            for dim in range(d):
+                sel[dim, col] = 1.0
+                freq[0, col] = 2.0 ** k
+                phase[0, col] = 0.0 if trig == 0 else math.pi / 2.0
+                col += 1
+    return sel, freq, phase, mask
+
+
+def _pad_rows(w, rows: int):
+    return jnp.concatenate(
+        [w, jnp.zeros((rows - w.shape[0], w.shape[1]), w.dtype)], axis=0
+    )
+
+
+def _wide_param_list(params: Dict, depth: int, skips, in_ch: int,
+                     p_x: int, p_d: int):
+    """Weights with first-layer/skip/views kernels re-laid-out for the
+    padded wide-PE lanes (zero rows where the pad lanes land)."""
+    width = params["pts_1_kernel"].shape[1]
+    seq = []
+    for i in range(depth):
+        k = params[f"pts_{i}_kernel"]
+        if i == 0:
+            k = _pad_rows(k, p_x)
+        elif (i - 1) in skips:
+            # [in_ch + W, W] -> [p_x + W, W]: pad the PE block only
+            k = jnp.concatenate([_pad_rows(k[:in_ch], p_x), k[in_ch:]], 0)
+        seq += [k, params[f"pts_{i}_bias"]]
+    vk = params["views_0_kernel"]  # [W + in_ch_views, W//2]
+    vk = jnp.concatenate([vk[:width], _pad_rows(vk[width:], p_d)], 0)
+    seq += [params["feature_kernel"], params["feature_bias"],
+            params["alpha_kernel"], params["alpha_bias"],
+            vk, params["views_0_bias"],
+            params["rgb_kernel"], params["rgb_bias"]]
+    return [w if w.ndim == 2 else w.reshape(1, -1) for w in seq]
+
+
+def _wide_pe(x, sel_ref, freq_ref, phase_ref, mask_ref, compute_dtype):
+    """In-kernel wide-lane PE: [T, d] f32 -> [T, P] compute_dtype.
+    The constant tables arrive as VMEM operands (pallas forbids captured
+    array constants in the kernel body)."""
+    X = jnp.dot(x, sel_ref[:], preferred_element_type=jnp.float32)
+    mask = mask_ref[:]
+    pe = mask * X + (1.0 - mask) * jnp.sin(X * freq_ref[:] + phase_ref[:])
+    return pe.astype(compute_dtype)
+
+
+def _mlp_widepe_kernel(pts_ref, dirs_ref,
+                       selx_ref, freqx_ref, phasex_ref, maskx_ref,
+                       seld_ref, freqd_ref, phased_ref, maskd_ref,
+                       *refs, depth: int, skips, p_x: int, p_d: int,
+                       compute_dtype):
+    """Whole NeRF MLP with wide-lane fused positional encodings."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    idx = 0
+
+    def nxt():
+        nonlocal idx
+        k, b = wrefs[idx], wrefs[idx + 1]
+        idx += 2
+        return k, b
+
+    cd = compute_dtype
+    pe_x = _wide_pe(pts_ref[:], selx_ref, freqx_ref, phasex_ref, maskx_ref,
+                    cd)                                     # [T, p_x]
+    pe_d = _wide_pe(dirs_ref[:], seld_ref, freqd_ref, phased_ref, maskd_ref,
+                    cd)                                     # [T, p_d]
+
+    h = None
+    for i in range(depth):
+        k, b = nxt()
+        if i == 0:
+            acc = jnp.dot(pe_x, k[:].astype(cd),
+                          preferred_element_type=jnp.float32)
+        elif (i - 1) in skips:
+            acc = jnp.dot(pe_x, k[:p_x].astype(cd),
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(h, k[p_x:].astype(cd),
+                           preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(h, k[:].astype(cd),
+                          preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + b[:].astype(jnp.float32), 0.0).astype(cd)
+
+    fk, fb = nxt()
+    ak, ab = nxt()
+    vk, vb = nxt()
+    rk, rb = nxt()
+
+    alpha = jnp.dot(h, ak[:].astype(cd), preferred_element_type=jnp.float32)
+    alpha += ab[:].astype(jnp.float32)
+    feature = jnp.dot(h, fk[:].astype(cd), preferred_element_type=jnp.float32)
+    feature = (feature + fb[:].astype(jnp.float32)).astype(cd)
+
+    width = feature.shape[-1]
+    hv = jnp.dot(feature, vk[:width].astype(cd),
+                 preferred_element_type=jnp.float32)
+    hv += jnp.dot(pe_d, vk[width:].astype(cd),
+                  preferred_element_type=jnp.float32)
+    hv = jnp.maximum(hv + vb[:].astype(jnp.float32), 0.0).astype(cd)
+
+    rgb = jnp.dot(hv, rk[:].astype(cd), preferred_element_type=jnp.float32)
+    rgb += rb[:].astype(jnp.float32)
+
+    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1).astype(out_ref.dtype)
+
+
+def _fused_forward_widepe(params: Dict, pts, dirs, net: NeRFNetConfig,
+                          compute_dtype=jnp.bfloat16, tile: int = 4096,
+                          interpret: bool = False):
+    """Wide-lane-PE fused forward: raw [N,3] f32 points/dirs in, [N,4] out."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+    depth = sum(1 for k in params if k.startswith("pts_") and k.endswith("kernel"))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, n_pad - n), (0, 0)))
+
+    in_ch = 3 * (1 + 2 * net.multires)
+    p_x = _round_up(in_ch, 64)
+    p_d = _round_up(3 * (1 + 2 * net.multires_views), 32)
+    pe_consts = [jnp.asarray(c)
+                 for c in _wide_pe_consts(3, net.multires, p_x)
+                 ] + [jnp.asarray(c)
+                      for c in _wide_pe_consts(3, net.multires_views, p_d)]
+    weights = [w.astype(compute_dtype)
+               for w in _wide_param_list(params, depth, tuple(net.skips),
+                                         in_ch, p_x, p_d)]
+    grid = (n_pad // tile,)
+    const_specs = [
+        pl.BlockSpec(c.shape, functools.partial(_zero_index, c.ndim),
+                     memory_space=pltpu.VMEM)
+        for c in pe_consts
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, functools.partial(_zero_index, w.ndim),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    kernel = functools.partial(
+        _mlp_widepe_kernel, depth=depth, skips=tuple(net.skips),
+        p_x=p_x, p_d=p_d, compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *const_specs,
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(pts, dirs, *pe_consts, *weights)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_nerf_mlp_widepe(params, pts, dirs, net: NeRFNetConfig,
+                          compute_dtype=jnp.bfloat16, tile: int = 4096):
+    """Pallas wide-lane-PE + MLP on raw points/dirs: the production fused
+    forward. Backward recomputes via the jnp reference path."""
+    return _fused_forward_widepe(params, pts, dirs, net, compute_dtype, tile)
+
+
+def _widepe_fwd(params, pts, dirs, net, compute_dtype, tile):
+    return (_fused_forward_widepe(params, pts, dirs, net, compute_dtype,
+                                  tile),
+            (params, pts, dirs))
+
+
+fused_nerf_mlp_widepe.defvjp(_widepe_fwd, _pe_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp(params, x_pe, d_pe, net: NeRFNetConfig,
                    compute_dtype=jnp.bfloat16, tile: int = 2048):
