@@ -123,12 +123,34 @@ class BilevelDriver:
         self.grid = None
         if self.rc_test.hit_budget < 1.0:
             from neuralsim_tpu.models.nerf import make_sigma_fn
-            from neuralsim_tpu.ops.occupancy import build_occupancy_grid
+            from neuralsim_tpu.ops.occupancy import (
+                build_occupancy_grid,
+                calibrate_hit_budget,
+            )
+            from neuralsim_tpu.sampler.poses import (
+                draw_pose_noise,
+                poses_from_noise,
+            )
 
             self.grid = build_occupancy_grid(
                 make_sigma_fn(nerf_models["coarse"], cfg.net),
                 bbox_min=(-0.4,) * 3, bbox_max=(0.4,) * 3,
             )
+            # the configured hit_budget is a FLOOR, not a promise: measure
+            # the actual hit fraction over poses spanning all azimuth bins
+            # and raise the budget to cover it (+25% drift margin) — a
+            # budget below the hit fraction silently drops visible rays
+            self.key, cal_key = jax.random.split(self.key)
+            cal_noise = draw_pose_noise(cal_key, cfg.sampler, num_k=8)
+            cal_poses = poses_from_noise(
+                jnp.full((8,), 0.125), cal_noise, cfg.sampler)
+            cam = cfg.camera
+            budget = calibrate_hit_budget(
+                self.grid, cal_poses, cam.height, cam.width, cam.K,
+                self.rc_test)
+            self.rc_test = dataclasses.replace(
+                self.rc_test,
+                hit_budget=max(self.rc_test.hit_budget, budget))
 
         if mesh is None:
             self._render_fn = jax.jit(self._render_impl)

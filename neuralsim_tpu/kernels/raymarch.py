@@ -428,7 +428,16 @@ def _mlp_widepe_kernel(pts_ref, dirs_ref,
                        selx_ref, freqx_ref, phasex_ref, maskx_ref,
                        seld_ref, freqd_ref, phased_ref, maskd_ref,
                        *refs, depth: int, skips, p_x: int, p_d: int,
-                       compute_dtype):
+                       compute_dtype, fast_epilogue: bool = False):
+    def epilogue(acc, b):
+        # bias+relu at compute precision: halves the per-layer VPU pass
+        # (which otherwise serializes against the MXU) at a ~1-ulp bf16
+        # rounding difference vs the f32 epilogue
+        if fast_epilogue:
+            return jnp.maximum(acc.astype(compute_dtype)
+                               + b[:].astype(compute_dtype), 0.0)
+        return jnp.maximum(acc + b[:].astype(jnp.float32),
+                           0.0).astype(compute_dtype)
     """Whole NeRF MLP with wide-lane fused positional encodings."""
     out_ref = refs[-1]
     wrefs = refs[:-1]
@@ -460,7 +469,7 @@ def _mlp_widepe_kernel(pts_ref, dirs_ref,
         else:
             acc = jnp.dot(h, k[:].astype(cd),
                           preferred_element_type=jnp.float32)
-        h = jnp.maximum(acc + b[:].astype(jnp.float32), 0.0).astype(cd)
+        h = epilogue(acc, b)
 
     fk, fb = nxt()
     ak, ab = nxt()
@@ -477,7 +486,7 @@ def _mlp_widepe_kernel(pts_ref, dirs_ref,
                  preferred_element_type=jnp.float32)
     hv += jnp.dot(pe_d, vk[width:].astype(cd),
                   preferred_element_type=jnp.float32)
-    hv = jnp.maximum(hv + vb[:].astype(jnp.float32), 0.0).astype(cd)
+    hv = epilogue(hv, vb)
 
     rgb = jnp.dot(hv, rk[:].astype(cd), preferred_element_type=jnp.float32)
     rgb += rb[:].astype(jnp.float32)
@@ -487,7 +496,8 @@ def _mlp_widepe_kernel(pts_ref, dirs_ref,
 
 def _fused_forward_widepe(params: Dict, pts, dirs, net: NeRFNetConfig,
                           compute_dtype=jnp.bfloat16, tile: int = 4096,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          fast_epilogue: bool = False):
     """Wide-lane-PE fused forward: raw [N,3] f32 points/dirs in, [N,4] out."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -523,6 +533,7 @@ def _fused_forward_widepe(params: Dict, pts, dirs, net: NeRFNetConfig,
     kernel = functools.partial(
         _mlp_widepe_kernel, depth=depth, skips=tuple(net.skips),
         p_x=p_x, p_d=p_d, compute_dtype=compute_dtype,
+        fast_epilogue=fast_epilogue,
     )
     out = pl.pallas_call(
         kernel,

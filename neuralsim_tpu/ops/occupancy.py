@@ -114,6 +114,39 @@ def ray_hit_scores(grid: OccupancyGrid, rays_o, rays_d, z_vals) -> jnp.ndarray:
     return jnp.sum(grid_lookup(grid, pts), axis=-1)
 
 
+def calibrate_hit_budget(grid: OccupancyGrid, poses, H: int, W: int, K,
+                         rc, margin: float = 1.25,
+                         quantum: float = 0.05) -> float:
+    """Measure the worst-case fraction of rays that hit ANY occupied voxel
+    over a sample of poses, and return a static hit_budget covering it.
+
+    The budget MUST dominate the true hit fraction or culling drops visible
+    rays (the round-2 bench caught exactly this: a fixed 0.25 budget vs a
+    ~0.5 hit fraction cost 22dB). Host-side, runs once per scene; the
+    result is rounded UP to ``quantum`` so nearby calibrations share one
+    compiled render. ``margin`` covers pose-distribution drift between the
+    calibration sample and later epochs.
+    """
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+
+    poses = jnp.asarray(poses)
+
+    @jax.jit
+    def frac_one(c2w):
+        ro, rd = get_rays(H, W, K, c2w[:3, :4])
+        ro = ro.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+        z = stratified_z_vals(None, ro.shape[0], rc.n_samples, rc.near,
+                              rc.far, perturb=False, lindisp=rc.lindisp)
+        scores = ray_hit_scores(grid, ro, rd, z)
+        return jnp.mean((scores > 0).astype(jnp.float32))
+
+    worst = max(float(frac_one(poses[i])) for i in range(poses.shape[0]))
+    budget = min(1.0, worst * margin)
+    return min(1.0, -(-budget // quantum) * quantum)
+
+
 def empty_ray_outputs(n: int, rc) -> dict:
     """The compositing outputs raw2outputs produces for a ray with zero
     density everywhere: weights=0 -> rgb=0 (+1 white_bkgd), depth=0, acc=0,

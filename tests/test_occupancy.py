@@ -204,3 +204,31 @@ def test_culled_render_jit_and_grad(fitted_scene):
 
     g = jax.jit(jax.grad(loss))(jnp.asarray(20.0))
     assert np.isfinite(float(g))
+
+
+def test_calibrate_hit_budget_covers_hits(sphere_grid):
+    """The calibrated budget must dominate the true hit fraction (with
+    margin) so the culled render never drops a hit ray — the failure mode
+    the round-2 bench caught on hardware (fixed 0.25 vs ~0.5 true)."""
+    from neuralsim_tpu.ops.occupancy import calibrate_hit_budget, ray_hit_scores
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+    from neuralsim_tpu.sampler.poses import pose_spherical
+
+    H = W = 32
+    K = np.array([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1.0]], np.float32)
+    poses = pose_spherical(jnp.array([85.0, 90.0]), jnp.array([-90.0, 30.0]),
+                           1.2)
+    budget = calibrate_hit_budget(sphere_grid, poses, H, W, K, RC)
+    assert 0.0 < budget <= 1.0
+
+    for i in range(2):
+        ro, rd = get_rays(H, W, K, poses[i][:3, :4])
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        z = stratified_z_vals(None, ro.shape[0], RC.n_samples, RC.near,
+                              RC.far, perturb=False)
+        frac = float(jnp.mean((ray_hit_scores(sphere_grid, ro, rd, z) > 0
+                               ).astype(jnp.float32)))
+        assert budget >= frac, (budget, frac)
+    # quantum rounding: multiple of 0.05
+    assert abs(budget / 0.05 - round(budget / 0.05)) < 1e-9
