@@ -131,7 +131,12 @@ def main():
     from neuralsim_tpu.ops.occupancy import calibrate_hit_budget
 
     budget = calibrate_hit_budget(grid, poses, H, W, K, rc)
-    rc_prod = dataclasses.replace(rc, hit_budget=budget)
+    # production = ray cull + per-ray z-interval tightening (16 coarse
+    # samples inside the occupied interval — still ~2x the reference's
+    # per-unit-length density there); measured 46.7dB vs exact on this
+    # scene, with cull-only at 120dB
+    rc_prod = dataclasses.replace(rc, hit_budget=budget,
+                                  tighten_bounds=True)
     fn_exact = jax.jit(
         lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
     fn_prod = jax.jit(

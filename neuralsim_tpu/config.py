@@ -96,6 +96,15 @@ class RenderConfig:
     # the coarse+fine march; provably-empty rays get the analytic empty
     # outputs. Routed rays follow the exact reference semantics. 1.0 = off.
     hit_budget: float = 1.0
+    # with culling on, additionally restrict each routed ray's samples to
+    # its occupied z-interval (ops.occupancy.ray_z_bounds) and drop the
+    # coarse count to n_samples_culled: the tightened interval is typically
+    # ~1/8 of [near, far], so even 16 samples double the reference's
+    # per-unit-length sample density on the object. NOT bit-exact vs the
+    # reference march (sample positions move) — guarded by PSNR in bench
+    # and tests. n_samples_culled=None keeps rc.n_samples.
+    tighten_bounds: bool = False
+    n_samples_culled: int | None = 16
     near: float = 0.3103964843749999   # pipeline default: info.near - 0.5
     far: float = 1.9297681884765627    # pipeline default: info.far + 0.5
 

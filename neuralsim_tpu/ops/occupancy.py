@@ -114,6 +114,33 @@ def ray_hit_scores(grid: OccupancyGrid, rays_o, rays_d, z_vals) -> jnp.ndarray:
     return jnp.sum(grid_lookup(grid, pts), axis=-1)
 
 
+def ray_z_bounds(grid: OccupancyGrid, rays_o, rays_d, z_vals,
+                 margin_samples: int = 2):
+    """Per-ray [near, far] tightened to the occupied z-interval.
+
+    From the same probe lattice as ray_hit_scores: the first/last sample
+    index landing in an occupied voxel, widened by ``margin_samples`` probe
+    steps (covers density between probes; the grid's dilation covers the
+    transverse direction). Rays with NO occupied probe keep the full
+    [z_0, z_-1] range — harmless (they composite to ~nothing) and shape-
+    stable. Returns (near [N], far [N]) f32.
+    """
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    occ = grid_lookup(grid, pts)                     # [N, S]
+    s = z_vals.shape[-1]
+    idx = jnp.arange(s, dtype=jnp.int32)
+    hit = occ > 0
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.min(jnp.where(hit, idx, s - 1), axis=-1)
+    last = jnp.max(jnp.where(hit, idx, 0), axis=-1)
+    first = jnp.maximum(first - margin_samples, 0)
+    last = jnp.minimum(last + margin_samples, s - 1)
+    take = lambda z, i: jnp.take_along_axis(z, i[:, None], axis=-1)[:, 0]
+    near = jnp.where(any_hit, take(z_vals, first), z_vals[:, 0])
+    far = jnp.where(any_hit, take(z_vals, last), z_vals[:, -1])
+    return near, far
+
+
 def calibrate_hit_budget(grid: OccupancyGrid, poses, H: int, W: int, K,
                          rc, margin: float = 1.25,
                          quantum: float = 0.05) -> float:

@@ -29,7 +29,8 @@ from neuralsim_tpu.ops.volume import raw2outputs, sample_pdf, stratified_z_vals
 
 
 def render_rays(models, rays_o, rays_d, viewdirs, key,
-                net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
+                net: NeRFNetConfig, rc: RenderConfig,
+                near=None, far=None) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays with the coarse(+fine) NeRF pair.
 
     Args:
@@ -37,6 +38,10 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
       rays_o, rays_d: [N, 3].
       viewdirs: [N, 3] unit directions (or None when use_viewdirs=False).
       key: PRNG key (may be None when rc.perturb=False and raw_noise_std=0).
+      near, far: optional per-ray [N] overrides of rc.near/rc.far (the
+        occupancy path passes tightened bounds; reference semantics pack
+        per-ray near/far into the ray bundle the same way,
+        run_nerf_noscale.py:105-112).
 
     Returns dict with rgb_map/disp_map/acc_map/depth_map (+ *0 coarse
     variants and z_std when n_importance>0).
@@ -49,7 +54,9 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
     k_strat, k_pdf, k_noise0, k_noise1 = jax.random.split(key, 4)
 
     z_vals = stratified_z_vals(
-        k_strat, n_rays, rc.n_samples, rc.near, rc.far,
+        k_strat, n_rays, rc.n_samples,
+        rc.near if near is None else near,
+        rc.far if far is None else far,
         perturb=rc.perturb, lindisp=rc.lindisp,
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
@@ -147,8 +154,12 @@ def render_ray_batch(models, rays_o, rays_d, key,
     With an OccupancyGrid and rc.hit_budget < 1.0, provably-empty rays are
     culled BEFORE the march (ops.occupancy): only a static top-k budget of
     rays — ranked by occupied-sample count — runs the full coarse+fine
-    pipeline with exact reference semantics; the rest get the analytic
-    empty-compositing outputs. Static shapes throughout (top_k + scatter)."""
+    pipeline; the rest get the analytic empty-compositing outputs. With
+    rc.tighten_bounds additionally on, routed rays sample inside their
+    occupied z-interval only (ray_z_bounds) at rc.n_samples_culled coarse
+    samples — denser-than-reference sampling of the object at a fraction
+    of the march cost (quality-guarded, not bit-exact). Static shapes
+    throughout (top_k + scatter)."""
     if grid is not None and rc.hit_budget < 1.0:
         return _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
                                         net, rc)
@@ -157,7 +168,13 @@ def render_ray_batch(models, rays_o, rays_d, key,
 
 def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
                              net: NeRFNetConfig, rc: RenderConfig):
-    from neuralsim_tpu.ops.occupancy import empty_ray_outputs, ray_hit_scores
+    import dataclasses
+
+    from neuralsim_tpu.ops.occupancy import (
+        empty_ray_outputs,
+        grid_lookup,
+        ray_z_bounds,
+    )
     from neuralsim_tpu.ops.volume import stratified_z_vals
 
     n = rays_o.shape[0]
@@ -165,13 +182,24 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
     # by the grid's dilation
     z_probe = stratified_z_vals(None, n, rc.n_samples, rc.near, rc.far,
                                 perturb=False, lindisp=rc.lindisp)
-    scores = ray_hit_scores(grid, rays_o, rays_d, z_probe)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_probe[..., :, None]
+    occ = grid_lookup(grid, pts)                       # [N, S]
+    scores = jnp.sum(occ, axis=-1)
     k_sel = int(round(n * rc.hit_budget))
     k_sel = max(8, min(n, -(-k_sel // 8) * 8))
     sel = jax.lax.stop_gradient(jax.lax.top_k(scores, k_sel)[1])
 
+    near = far = None
+    rc_sel = rc
+    if rc.tighten_bounds:
+        near_all, far_all = ray_z_bounds(grid, rays_o, rays_d, z_probe)
+        near, far = near_all[sel], far_all[sel]
+        if rc.n_samples_culled:
+            rc_sel = dataclasses.replace(rc, n_samples=rc.n_samples_culled)
+
     out_sel = _render_ray_batch_dense(
-        models, rays_o[sel], rays_d[sel], key, net, rc
+        models, rays_o[sel], rays_d[sel], key, net, rc_sel,
+        near=near, far=far,
     )
     out = empty_ray_outputs(n, rc)
     out = {k: out[k].at[sel].set(out_sel[k]) for k in out_sel}
@@ -183,7 +211,8 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
 
 
 def _render_ray_batch_dense(models, rays_o, rays_d, key,
-                            net: NeRFNetConfig, rc: RenderConfig) -> Dict[str, jnp.ndarray]:
+                            net: NeRFNetConfig, rc: RenderConfig,
+                            near=None, far=None) -> Dict[str, jnp.ndarray]:
     n = rays_o.shape[0]
     chunk = min(rc.ray_chunk, n) if n > 0 else rc.ray_chunk
     n_tiles = -(-n // chunk)
@@ -196,14 +225,21 @@ def _render_ray_batch_dense(models, rays_o, rays_d, key,
 
     ro = _pad_to(rays_o, n_pad).reshape(n_tiles, chunk, 3)
     rd = _pad_to(rays_d, n_pad).reshape(n_tiles, chunk, 3)
+    bounds = None
+    if near is not None:
+        bounds = (
+            _pad_to(near, n_pad).reshape(n_tiles, chunk),
+            _pad_to(far, n_pad).reshape(n_tiles, chunk),
+        )
     if key is None:
         key = jax.random.PRNGKey(0)
     tile_ids = jnp.arange(n_tiles)
 
     def tile_fn(args):
-        tid, o, d, vd = args
+        tid, o, d, vd, nf = args
         tkey = jax.random.fold_in(key, tid)
-        return render_rays(models, o, d, vd, tkey, net, rc)
+        nr, fr = (None, None) if nf is None else nf
+        return render_rays(models, o, d, vd, tkey, net, rc, near=nr, far=fr)
 
     if rc.remat:
         # recompute tile activations in the backward pass instead of saving
@@ -214,10 +250,18 @@ def _render_ray_batch_dense(models, rays_o, rays_d, key,
         viewdirs = jnp.zeros_like(rd)
     if n_tiles == 1:
         out = tile_fn((tile_ids[0], ro[0], rd[0],
-                       viewdirs[0] if net.use_viewdirs else None))
+                       viewdirs[0] if net.use_viewdirs else None,
+                       None if bounds is None else (bounds[0][0],
+                                                    bounds[1][0])))
         return {k: v[:n] for k, v in out.items()}
 
-    out = jax.lax.map(tile_fn, (tile_ids, ro, rd, viewdirs))
+    if bounds is None:
+        out = jax.lax.map(
+            lambda a: tile_fn(a + (None,)), (tile_ids, ro, rd, viewdirs))
+    else:
+        out = jax.lax.map(
+            lambda a: tile_fn(a[:4] + ((a[4], a[5]),)),
+            (tile_ids, ro, rd, viewdirs, bounds[0], bounds[1]))
     return {k: v.reshape((n_pad,) + v.shape[2:])[:n] for k, v in out.items()}
 
 

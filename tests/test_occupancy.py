@@ -232,3 +232,43 @@ def test_calibrate_hit_budget_covers_hits(sphere_grid):
         assert budget >= frac, (budget, frac)
     # quantum rounding: multiple of 0.05
     assert abs(budget / 0.05 - round(budget / 0.05)) < 1e-9
+
+
+def test_tightened_render_quality(fitted_scene):
+    """Production tightened mode (cull + per-ray z-interval + reduced coarse
+    count) stays within the PSNR guard of the exact render, and the
+    tightened bounds bracket the object."""
+    from neuralsim_tpu.ops.occupancy import ray_z_bounds
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.render import render_image
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+
+    models, grid = fitted_scene
+    H = W = 32
+    K = np.array([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1.0]], np.float32)
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 1.2],
+                     [0, 0, 0, 1.0]])
+
+    exact = render_image(models, c2w, H, W, K, None, NET, RC)
+    rc_t = dataclasses.replace(RC, hit_budget=0.5, tighten_bounds=True,
+                               n_samples_culled=8)
+    tight = render_image(models, c2w, H, W, K, None, NET, rc_t, grid=grid)
+    a = np.asarray(exact["rgb_map"])
+    b = np.asarray(tight["rgb_map"])
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"tightened render diverges: PSNR {psnr:.1f} dB"
+
+    # bounds bracket the sphere (radius 0.2 at origin, camera at z=1.2):
+    # the central ray's occupied interval must contain [1.0, 1.4] and be
+    # much tighter than the full [near, far]
+    ro, rd = get_rays(H, W, K, c2w[:3, :4])
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    z = stratified_z_vals(None, ro.shape[0], RC.n_samples, RC.near, RC.far,
+                          perturb=False)
+    near, far = ray_z_bounds(grid, ro, rd, z)
+    c = (H // 2) * W + W // 2
+    assert float(near[c]) < 1.0 and float(far[c]) > 1.4
+    # with 16 probes + 2-sample margins the interval is coarse but must
+    # still be clearly tighter than the full range
+    assert float(far[c]) - float(near[c]) < 0.6 * (RC.far - RC.near)
