@@ -409,6 +409,16 @@ _FLAG_MAP = {
     "optimization": ("bilevel", "optimization"),
     "pretrain": ("detector", "pretrain"),
     "pretrain_weight": ("detector", "pretrain_weight"),
+    # extensions with no reference analog (production occupancy culling,
+    # gaussian psi, psi-gradient mode selection)
+    "hit_budget": ("render", "hit_budget"),
+    "tighten_bounds": ("render", "tighten_bounds"),
+    "n_samples_culled": ("render", "n_samples_culled"),
+    "use_pallas": ("render", "use_pallas"),
+    "fine_fraction": ("render", "fine_fraction"),
+    "psi_mode": ("bilevel", "psi_mode"),
+    "grad_mode": ("bilevel", "grad_mode"),
+    "ihvp_solver": ("bilevel", "ihvp_solver"),
 }
 
 # flags the reference accepts but that have no effect on this implementation
