@@ -113,7 +113,10 @@ def main():
         [[1333.3334, 0.0, 195.42932], [0.0, 1334.2196, 200.6318], [0.0, 0.0, 1.0]],
         np.float32,
     )
-    n_poses = 4
+    # 8 poses x 400^2 = 1.28M rays per timed call: the axon relay adds a
+    # measured ~200ms fixed round-trip per synced execution, so the timed
+    # region must be seconds-long or the latency pollutes the rate
+    n_poses = 8
 
     params = box_scene_params(net, jax.random.PRNGKey(0))
     models = {"coarse": params, "fine": params}
