@@ -587,12 +587,17 @@ class BilevelDriver:
                 self.anchors_per_level, self.cfg.detector,
             )
             det_list.extend(detections_to_eval(dets))
+        # ONE device->host transfer for the whole gt set: per-element
+        # np.asarray costs a full relay round trip (~200ms each) apiece
+        gt_valid, gt_boxes, gt_labels = jax.device_get(
+            (self.val_data.gt_valid, self.val_data.gt_boxes,
+             self.val_data.gt_labels))
         gt_list = []
-        for i in range(self.val_data.images.shape[0]):
-            m = np.asarray(self.val_data.gt_valid[i])
+        for i in range(n):
+            m = gt_valid[i]
             gt_list.append({
-                "boxes": np.asarray(self.val_data.gt_boxes[i])[m],
-                "labels": np.asarray(self.val_data.gt_labels[i])[m],
+                "boxes": gt_boxes[i][m],
+                "labels": gt_labels[i][m],
             })
         return coco_map(det_list, gt_list)
 

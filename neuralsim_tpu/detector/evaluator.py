@@ -119,10 +119,15 @@ def coco_map(detections: Sequence[Dict], ground_truth: Sequence[Dict],
 def detections_to_eval(det_batch, valid_only: bool = True) -> List[Dict]:
     """Convert a models.retinanet.Detections pytree to evaluator inputs."""
     out = []
-    boxes = np.asarray(det_batch.boxes)
-    scores = np.asarray(det_batch.scores)
-    labels = np.asarray(det_batch.labels)
-    valid = np.asarray(det_batch.valid)
+    # one bundled device->host transfer (per-array np.asarray costs one
+    # relay round trip each on remote-TPU transports)
+    import jax
+
+    boxes, scores, labels, valid = jax.device_get(
+        (det_batch.boxes, det_batch.scores, det_batch.labels,
+         det_batch.valid))
+    boxes, scores, labels, valid = (np.asarray(boxes), np.asarray(scores),
+                                    np.asarray(labels), np.asarray(valid))
     for i in range(boxes.shape[0]):
         m = valid[i] if valid_only else np.ones(boxes.shape[1], bool)
         out.append({"boxes": boxes[i][m], "scores": scores[i][m],
