@@ -240,8 +240,14 @@ class BilevelConfig:
     grad_mode: str = "strips"
     # ray tile size for the gradient render; kept smaller than the forward
     # chunk — large remat tiles have hit XLA backend register-allocation
-    # RET_CHECKs on v5e (live_range_finder) at 25k rays
-    grad_ray_chunk: int = 10000
+    # RET_CHECKs on v5e (live_range_finder) at 25k rays. In strips mode
+    # this is the per-program strip length: the scan-free single-tile
+    # program CANNOT remat (multi-tile remat is RET_CHECK-red), so its
+    # backward stores full residuals — ~1.5GB per 1k rays at 64+192
+    # samples f32. 5000 leaves headroom for the detector/inner-train state
+    # sharing HBM (a 10k strip OOMed the reference-scale epoch); each
+    # distinct (start, length) compiles one program, cached persistently.
+    grad_ray_chunk: int = 5000
     # images per render-gradient jit call: the gradient over all K images is
     # the mean of per-group gradients (the loss is a mean over images), and
     # differentiated render programs beyond ~4 image-tiles trip the same
