@@ -173,3 +173,34 @@ def test_gaussian_psi_epoch(driver):
     # in test_sampler.py and against fwd mode in test_render_grad.py
     assert record["psi"].shape == (2,)
     assert "AP" in record["map"]
+
+
+def test_production_culled_epoch(driver):
+    """Driver production mode: occupancy grid built from the coarse model,
+    hit budget CALIBRATED (raised from the configured floor to measured
+    coverage), and one epoch runs with the culled render."""
+    import tempfile
+
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    cfg = dataclasses.replace(
+        driver.cfg,
+        render=dataclasses.replace(driver.cfg.render, hit_budget=0.25,
+                                   tighten_bounds=True, n_samples_culled=4),
+    )
+    drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                        key=jax.random.PRNGKey(11), object_class=0,
+                        output_dir=tempfile.mkdtemp())
+    assert drv.grid is not None
+    # calibration can only RAISE the configured floor, rounded to 0.05
+    b = drv.rc_test.hit_budget
+    assert 0.25 <= b <= 1.0 and abs(b / 0.05 - round(b / 0.05)) < 1e-9
+
+    psi0 = psi_init(cfg.bilevel.psi_pose_cats_mode)
+    popt = psi_optimizer_init(cfg.bilevel.opt_method, cfg.bilevel.opt_lr)
+    det = init_detector(jax.random.PRNGKey(12), cfg.detector)
+    rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
+    assert np.isfinite(rec["grad_psi"]).all()
+    assert np.isfinite(rec["inner_loss"])
