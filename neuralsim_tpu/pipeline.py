@@ -69,10 +69,29 @@ class NeuralSimRenderer:
             )
 
         # production empty-space skipping: build the occupancy grid once per
-        # scene from the coarse density field (rc.hit_budget < 1.0 opts in)
+        # scene from the coarse density field (rc.hit_budget < 1.0 opts in),
+        # then raise the configured budget to the MEASURED worst-case hit
+        # fraction over an all-bins pose sample — a budget below the true
+        # fraction silently drops visible rays (see ops.occupancy)
         self.grid = None
         if self.rc.hit_budget < 1.0:
+            import dataclasses
+
+            from neuralsim_tpu.ops.occupancy import calibrate_hit_budget
+            from neuralsim_tpu.sampler.poses import (
+                draw_pose_noise,
+                poses_from_noise,
+            )
+
             self.grid = self.occupancy_grid()
+            cal_noise = draw_pose_noise(
+                jax.random.PRNGKey(cfg.seed), cfg.sampler, num_k=8)
+            cal_poses = poses_from_noise(
+                jnp.full((8,), 0.125), cal_noise, cfg.sampler)
+            budget = calibrate_hit_budget(
+                self.grid, cal_poses, self.H, self.W, self.K, self.rc)
+            self.rc = dataclasses.replace(
+                self.rc, hit_budget=max(self.rc.hit_budget, budget))
 
         self._render_fn = jax.jit(self._render_impl)
 
