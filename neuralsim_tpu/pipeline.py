@@ -25,7 +25,11 @@ import numpy as np
 
 from neuralsim_tpu.config import NeuralSimConfig
 from neuralsim_tpu.data.blender import load_data_param
-from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_fwd, render_grad_psi_rev
+from neuralsim_tpu.hypergrad.render_grad import (
+    render_grad_psi_fwd,
+    render_grad_psi_rev,
+    render_grad_psi_strips,
+)
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
 from neuralsim_tpu.ops.render import render_poses, to8b
 from neuralsim_tpu.sampler.poses import (
@@ -165,11 +169,23 @@ class NeuralSimRenderer:
         return rgb, noise
 
     def render_images_grad(self, psi, noise: PoseNoise, grad_E,
-                           mode: str = "rev") -> jnp.ndarray:
+                           mode: str = "strips") -> jnp.ndarray:
         """Mean dL/dpsi with grad_E as the rgb cotangent (reference returns
-        torch.mean of per-chunk dLdpsi, neural_sim_main.py:191)."""
+        torch.mean of per-chunk dLdpsi, neural_sim_main.py:191).
+
+        mode: "strips" (default; the v5e-green scan-free host-loop shape,
+        see hypergrad.render_grad) | "rev" | "fwd"."""
         n = grad_E.shape[0]
         noise_n = jax.tree_util.tree_map(lambda x: x[:n], noise)
+        if mode == "strips":
+            if not hasattr(self, "_strip_cache"):
+                self._strip_cache = {}
+            return render_grad_psi_strips(
+                self.models, psi, noise_n, jnp.asarray(grad_E),
+                self.H, self.W, self.K, self.cfg.net, self.rc,
+                self.cfg.sampler,
+                strip=self.cfg.bilevel.grad_ray_chunk,
+                jit_cache=self._strip_cache)
         fn = render_grad_psi_rev if mode == "rev" else render_grad_psi_fwd
         return fn(self.models, psi, noise_n, jnp.asarray(grad_E),
                   self.H, self.W, self.K, self.cfg.net, self.rc,
