@@ -61,6 +61,10 @@ def main(argv=None):
     ap.add_argument("--data-root", type=str, default=None)
     ap.add_argument("--production", action="store_true",
                     help="occupancy culling + z tightening")
+    ap.add_argument("--det-iters", type=int, default=None,
+                    help="override detector inner iterations (CPU smokes)")
+    ap.add_argument("--compute-dtype", type=str, default="bfloat16",
+                    help="float32 for CPU smokes (bf16 is emulated on CPU)")
     ap.add_argument("--out", type=str, default="sweep_results.jsonl")
     args = ap.parse_args(argv)
 
@@ -83,12 +87,17 @@ def main(argv=None):
         sampler=dataclasses.replace(base.sampler,
                                     n_samples_k=args.n_samples_K),
         render=dataclasses.replace(
-            base.render, compute_dtype="bfloat16", ray_chunk=32768,
+            base.render, compute_dtype=args.compute_dtype, ray_chunk=32768,
             hit_budget=0.2 if args.production else 1.0,
             tighten_bounds=args.production),
         bilevel=dataclasses.replace(base.bilevel, n_epochs=args.epochs,
                                     grad_e_max_images=4),
     )
+    if args.det_iters:
+        base = dataclasses.replace(
+            base, detector=dataclasses.replace(
+                base.detector, max_iter=args.det_iters,
+                warmup_iters=min(2, args.det_iters)))
 
     rows = []
     for obj in args.objects:
