@@ -423,14 +423,26 @@ class BilevelDriver:
 
         # [2] annotate + build inner training set (renders + backgrounds)
         with phase_timer("build_dataset"):
-            images_np = np.asarray(renders)
-            labels = [self.object_class] * len(images_np)
-            if self.background_images is not None:
-                images_np = np.concatenate([images_np, self.background_images], 0)
+            if self.background_images is None:
+                # device-resident annotation: renders never leave the chip
+                # between the renderer and the detector (build_detector_
+                # batches_device; the host CC path serves PNG/COCO interop
+                # and mixed-background datasets)
+                from neuralsim_tpu.detector.dataset import (
+                    build_detector_batches_device,
+                )
+
+                labels = [self.object_class] * int(renders.shape[0])
+                inputs, gt_boxes, gt_labels, gt_valid = (
+                    build_detector_batches_device(renders, labels, dc))
+            else:
+                images_np = np.asarray(renders)
+                labels = [self.object_class] * len(images_np)
+                images_np = np.concatenate(
+                    [images_np, self.background_images], 0)
                 labels = labels + list(self.background_labels)
-            inputs, gt_boxes, gt_labels, gt_valid = build_detector_batches(
-                images_np, labels, dc
-            )
+                inputs, gt_boxes, gt_labels, gt_valid = (
+                    build_detector_batches(images_np, labels, dc))
             n_render = renders.shape[0]
             batches = cycle_batches(
                 inputs, gt_boxes, gt_labels, gt_valid,

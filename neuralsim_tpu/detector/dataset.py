@@ -76,6 +76,46 @@ def prepare_images(images: np.ndarray, dc: DetectorConfig,
     return (imgs - mean) / std
 
 
+def build_detector_batches_device(images, labels: Sequence[int],
+                                  dc: DetectorConfig, max_boxes: int = 4):
+    """Device-resident twin of build_detector_batches: renders stay on
+    device end-to-end into the detector (no host round trip / relay
+    latency). The box is the bbox of ALL foreground pixels at the same
+    BT.601 threshold the host path uses; for single-object renders whose
+    background is exactly 0, this equals the host path's
+    largest-component box (the paths diverge only when an image has
+    multiple disconnected foreground blobs — the PNG/COCO interop path
+    keeps the exact connected-components semantics)."""
+    import jax.numpy as jnp
+
+    imgs = jnp.asarray(images)[..., :3]
+    n, h, w, _ = imgs.shape
+    u8 = jnp.round(jnp.clip(imgs, 0.0, 1.0) * 255.0)
+    gray = jnp.round(u8 @ jnp.asarray(_LUMA, jnp.float32))
+    mask = gray > 1.0                                    # [N, H, W]
+    rows = jnp.any(mask, axis=2)                         # [N, H]
+    cols = jnp.any(mask, axis=1)                         # [N, W]
+    any_fg = jnp.any(rows, axis=1)
+
+    def first_last(m, size):
+        idx = jnp.arange(size, dtype=jnp.int32)
+        first = jnp.min(jnp.where(m, idx, size - 1), axis=1)
+        last = jnp.max(jnp.where(m, idx, 0), axis=1)
+        return first.astype(jnp.float32), last.astype(jnp.float32)
+
+    y0, y1 = first_last(rows, h)
+    x0, x1 = first_last(cols, w)
+    # (x, y, w, h) -> XYXY with the host path's x + w convention (w = last -
+    # first + 1 from component stats)
+    box = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)   # [N, 4]
+    gt_boxes = jnp.zeros((n, max_boxes, 4), jnp.float32).at[:, 0].set(box)
+    gt_labels = jnp.zeros((n, max_boxes), jnp.int32).at[:, 0].set(
+        jnp.asarray(list(labels), jnp.int32))
+    gt_valid = jnp.zeros((n, max_boxes), bool).at[:, 0].set(any_fg)
+    inputs = prepare_images(imgs, dc)
+    return inputs, gt_boxes, gt_labels, gt_valid
+
+
 def build_detector_batches(images: np.ndarray, labels: Sequence[int],
                            dc: DetectorConfig, max_boxes: int = 4):
     """Annotate every image and pack GT into padded arrays.

@@ -71,3 +71,37 @@ def test_sampler_diagnostics_tracks_target():
     # bin centers (~180 deg, bins 3-4) — losing the true modes
     assert hi[3] + hi[4] > 0.7
     assert hi[1] + hi[6] < 0.2
+
+
+def test_device_batches_match_host_path():
+    """build_detector_batches_device equals the host CC path on
+    single-object renders (exact-zero background, one blob) — the
+    production pipeline's per-epoch case."""
+    import jax.numpy as jnp
+
+    from neuralsim_tpu.config import DetectorConfig
+    from neuralsim_tpu.detector.dataset import (
+        build_detector_batches,
+        build_detector_batches_device,
+    )
+
+    dc = DetectorConfig(num_classes=2, image_size=64)
+    rng = np.random.RandomState(0)
+    imgs = np.zeros((3, 48, 40, 3), np.float32)
+    imgs[0, 10:30, 5:25] = rng.rand(20, 20, 3) * 0.8 + 0.2
+    imgs[1, 0:8, 30:40] = 0.5
+    # image 2 stays empty -> invalid gt
+    labels = [0, 1, 0]
+
+    h_in, h_box, h_lab, h_val = build_detector_batches(imgs, labels, dc)
+    d_in, d_box, d_lab, d_val = build_detector_batches_device(
+        jnp.asarray(imgs), labels, dc)
+
+    np.testing.assert_allclose(np.asarray(d_in), np.asarray(h_in), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d_val), np.asarray(h_val))
+    np.testing.assert_array_equal(np.asarray(d_lab) * np.asarray(d_val),
+                                  np.asarray(h_lab) * np.asarray(h_val))
+    # boxes compared only where valid
+    hv = np.asarray(h_val)[:, 0]
+    np.testing.assert_allclose(np.asarray(d_box)[hv, 0],
+                               np.asarray(h_box)[hv, 0], atol=1e-6)
