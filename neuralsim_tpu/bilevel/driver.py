@@ -474,16 +474,22 @@ class BilevelDriver:
             map_result = self.evaluate(det_state)
         self.log.append(epoch, map_result, text=map_result_str(map_result))
 
-        psi_probs = (np.asarray(psi) if bc.psi_mode == "gaussian"
-                     else np.asarray(psi_to_probs(psi, sc)))
+        # device values only here; ONE bundled host transfer per epoch at
+        # the return (every separate np.asarray costs a full relay round
+        # trip, ~200ms measured — they were ~40% of the steady epoch)
+        psi_probs_dev = (psi if bc.psi_mode == "gaussian"
+                         else psi_to_probs(psi, sc))
+        loss_dev = metrics["loss"][-1]
         record = {
             "epoch": epoch, "map": map_result,
-            "psi_probs": psi_probs, "detector_state": det_state,
-            "inner_loss": float(np.asarray(metrics["loss"])[-1]),
+            "detector_state": det_state,
         }
 
         if not bc.optimization:
-            record.update(psi=psi, psi_opt=psi_opt)
+            psi_probs, loss = jax.device_get((psi_probs_dev, loss_dev))
+            record.update(psi=psi, psi_opt=psi_opt,
+                          psi_probs=np.asarray(psi_probs),
+                          inner_loss=float(loss))
             return record
 
         # [3.1] inverse HVP — the stochastic Hessian batch is a DEDICATED
@@ -569,8 +575,11 @@ class BilevelDriver:
         # txt line bytes match the reference's
         # `'epoch: {}' + str(torch_softmax(psi / gumble_T))` (:1208-1210);
         # gaussian psi has no softmax — log the raw (mean, std) pair
-        psi_soft = (np.asarray(psi) if bc.psi_mode == "gaussian"
-                    else np.asarray(jax.nn.softmax(psi / sc.gumbel_temperature)))
+        psi_soft_dev = (psi if bc.psi_mode == "gaussian"
+                        else jax.nn.softmax(psi / sc.gumbel_temperature))
+        psi_probs, loss, psi_soft, grad_psi_np = jax.device_get(
+            (psi_probs_dev, loss_dev, psi_soft_dev, grad_psi))
+        psi_soft = np.asarray(psi_soft)
         self.log.append(epoch, {"psi_softmax_T": psi_soft},
                         text=torch_tensor_str(psi_soft))
 
@@ -581,7 +590,9 @@ class BilevelDriver:
             # whenever the forward pass ran exact — see PARITY.md)
             self._save_renders(renders[:n_ge], epoch, subdir="withgrad")
         record.update(psi=psi, psi_opt=psi_opt,
-                      grad_psi=np.asarray(grad_psi))
+                      psi_probs=np.asarray(psi_probs),
+                      inner_loss=float(loss),
+                      grad_psi=np.asarray(grad_psi_np))
         return record
 
     # ------------------------------------------------------------------ #
@@ -599,19 +610,18 @@ class BilevelDriver:
                 self.anchors_per_level, self.cfg.detector,
             )
             det_list.extend(detections_to_eval(dets))
-        # ONE device->host transfer for the whole gt set: per-element
-        # np.asarray costs a full relay round trip (~200ms each) apiece
-        gt_valid, gt_boxes, gt_labels = jax.device_get(
-            (self.val_data.gt_valid, self.val_data.gt_boxes,
-             self.val_data.gt_labels))
-        gt_list = []
-        for i in range(n):
-            m = gt_valid[i]
-            gt_list.append({
-                "boxes": gt_boxes[i][m],
-                "labels": gt_labels[i][m],
-            })
-        return coco_map(det_list, gt_list)
+        # the val set is fixed for the driver's lifetime: transfer the gt
+        # ONCE (bundled — per-element np.asarray costs a relay round trip)
+        if not hasattr(self, "_gt_list"):
+            gt_valid, gt_boxes, gt_labels = jax.device_get(
+                (self.val_data.gt_valid, self.val_data.gt_boxes,
+                 self.val_data.gt_labels))
+            self._gt_list = [
+                {"boxes": gt_boxes[i][gt_valid[i]],
+                 "labels": gt_labels[i][gt_valid[i]]}
+                for i in range(n)
+            ]
+        return coco_map(det_list, self._gt_list)
 
     def _save_renders(self, renders, epoch: int, subdir: str = ""):
         import imageio.v2 as imageio
