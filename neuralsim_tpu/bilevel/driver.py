@@ -174,6 +174,7 @@ class BilevelDriver:
         # RET_CHECK (lsrav2/live_range_finder.cc:29); the same computation
         # under one jit compiles and runs fine
         self._render_grad_fn = jax.jit(self._render_grad_impl)
+        self._unrolled_fn = jax.jit(self._unrolled_impl)
         # strip-mode compiled-program cache (one program serves every strip
         # of every image across epochs)
         self._strip_grad_cache: Dict = {}
@@ -209,6 +210,18 @@ class BilevelDriver:
             cam.height, cam.width, cam.K, cfg.net, rc_grad, cfg.sampler,
             psi_mode=bc.psi_mode,
         )
+
+    def _unrolled_impl(self, det_state0, renders, labels, batch_key):
+        """True unrolled dL_val/dI (bc.hypergrad_mode == "unrolled")."""
+        from neuralsim_tpu.hypergrad.unrolled import unrolled_grad_images
+
+        if self.background_images is not None:
+            raise ValueError(
+                "unrolled hypergradient requires background_images=None: "
+                "the recomputed batch schedule must match the trained one")
+        return unrolled_grad_images(
+            self.det_apply, det_state0, renders, labels, self.val_data,
+            self.cfg.detector, self.anchors_cat, batch_key)
 
     def _det_loss_trainable(self, trainable, frozen, batch: DetBatch,
                             image_weight=None):
@@ -465,6 +478,8 @@ class BilevelDriver:
             det_state = jax.device_put(
                 det_state, NamedSharding(self.mesh, P())
             )
+        det_state_in = det_state   # pre-train state (unrolled mode re-runs
+        # the trajectory from here under the gradient)
         with phase_timer("inner_train"):
             det_state, metrics = self._inner_train_fn(det_state, batches)
 
@@ -492,22 +507,6 @@ class BilevelDriver:
                           inner_loss=float(loss))
             return record
 
-        # [3.1] inverse HVP — the stochastic Hessian batch is a DEDICATED
-        # fresh draw from the train set (reference builds a fresh loader,
-        # neural_sim_main.py:995-1018), not the first batch of the shuffled
-        # inner-train schedule, so the Hessian estimate is decoupled from
-        # the inner training data order
-        with phase_timer("inverse_hvp"):
-            v = self._val_grad_fn(det_state.params)
-            hvp_batch = jax.tree_util.tree_map(
-                lambda x: x[0],
-                cycle_batches(inputs, gt_boxes, gt_labels, gt_valid,
-                              1, dc.images_per_batch, k_hvp),
-            )
-            ihvp = self._ihvp_fn(det_state.params, hvp_batch, v)
-
-        # [3.2] grad_E on rendered-class images (reference caps at 100,
-        # neural_sim_main.py:876)
         n_ge = min(n_render, bc.grad_e_max_images)
         if self.mesh is not None:
             # grad_E runs lax.map over the image axis (serial) — keep its
@@ -515,11 +514,41 @@ class BilevelDriver:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             renders = jax.device_put(renders, NamedSharding(self.mesh, P()))
-        with phase_timer("grad_E"):
-            grad_E = self._grad_e_fn(
-                det_state.params, renders[:n_ge], gt_boxes[:n_ge],
-                gt_labels[:n_ge], gt_valid[:n_ge], ihvp,
-            )
+
+        if bc.hypergrad_mode == "unrolled":
+            # TRUE dL_val/dI by differentiating through the whole inner
+            # training scan (hypergrad/unrolled.py): replaces [3.1]+[3.2].
+            # Reuses the inner train's batch key so the recomputed
+            # schedule matches the trained trajectory exactly; det_state_in
+            # is the pre-train state the unroll starts from.
+            with phase_timer("unrolled_grad_E"):
+                grad_E = self._unrolled_fn(
+                    det_state_in, renders,
+                    jnp.full((n_render,), self.object_class, jnp.int32),
+                    k_batch,
+                )[:n_ge]
+        else:
+            # [3.1] inverse HVP — the stochastic Hessian batch is a
+            # DEDICATED fresh draw from the train set (reference builds a
+            # fresh loader, neural_sim_main.py:995-1018), not the first
+            # batch of the shuffled inner-train schedule, so the Hessian
+            # estimate is decoupled from the inner training data order
+            with phase_timer("inverse_hvp"):
+                v = self._val_grad_fn(det_state.params)
+                hvp_batch = jax.tree_util.tree_map(
+                    lambda x: x[0],
+                    cycle_batches(inputs, gt_boxes, gt_labels, gt_valid,
+                                  1, dc.images_per_batch, k_hvp),
+                )
+                ihvp = self._ihvp_fn(det_state.params, hvp_batch, v)
+
+            # [3.2] grad_E on rendered-class images (reference caps at 100,
+            # neural_sim_main.py:876)
+            with phase_timer("grad_E"):
+                grad_E = self._grad_e_fn(
+                    det_state.params, renders[:n_ge], gt_boxes[:n_ge],
+                    gt_labels[:n_ge], gt_valid[:n_ge], ihvp,
+                )
 
         # [3.3] dL/dpsi through sampling+render (truncate noise to n_ge,
         # mirroring the reference's pose-loop truncation)

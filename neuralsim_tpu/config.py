@@ -220,6 +220,13 @@ class BilevelConfig:
     psi_mode: str = "categorical"
     gauss_mean_init: float = 157.5      # degrees; bin-5 center
     gauss_std_init: float = 30.0
+    # hypergradient engine: "influence" = the reference's approximation
+    # (inverse-HVP . mixed partial, neural_sim_main.py:912-1069);
+    # "unrolled" = the TRUE dL_val/dI by differentiating through the whole
+    # inner-training scan with per-step remat (hypergrad/unrolled.py — a
+    # capability torch autograd could not afford the reference; FD-exact,
+    # ~2x inner-train compute)
+    hypergrad_mode: str = "influence"
     # inverse-HVP solver: "onestep" reproduces the reference's live path
     # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" is the real CG
     # solver the reference left dead; "neumann" = 2v - Hv; "identity" = v.

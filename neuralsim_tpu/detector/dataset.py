@@ -110,7 +110,7 @@ def build_detector_batches_device(images, labels: Sequence[int],
     box = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)   # [N, 4]
     gt_boxes = jnp.zeros((n, max_boxes, 4), jnp.float32).at[:, 0].set(box)
     gt_labels = jnp.zeros((n, max_boxes), jnp.int32).at[:, 0].set(
-        jnp.asarray(list(labels), jnp.int32))
+        jnp.asarray(labels, jnp.int32))
     gt_valid = jnp.zeros((n, max_boxes), bool).at[:, 0].set(any_fg)
     inputs = prepare_images(imgs, dc)
     return inputs, gt_boxes, gt_labels, gt_valid

@@ -144,12 +144,15 @@ def train_step(state: DetectorState, batch: DetBatch, dc: DetectorConfig,
 
 
 def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,
-                anchors_cat=None):
+                anchors_cat=None, remat: bool = False):
     """Run the full inner fine-tune as one lax.scan.
 
     Args:
       batches: DetBatch whose leaves carry a leading [n_steps] axis —
         n_steps batches of images_per_batch images each.
+      remat: rematerialize each step in reverse mode — required when the
+        whole trajectory is differentiated (hypergrad.unrolled): memory
+        stays at one step's activations instead of n_steps'.
 
     Returns (final_state, per-step metrics dict).
     """
@@ -159,6 +162,9 @@ def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,
     def body(s, batch):
         s, metrics = train_step(s, batch, dc, anchors_cat)
         return s, metrics
+
+    if remat:
+        body = jax.checkpoint(body)
 
     return jax.lax.scan(body, state, batches)
 
