@@ -555,6 +555,225 @@ def _fused_forward_widepe(params: Dict, pts, dirs, net: NeRFNetConfig,
     return out[:n]
 
 
+# --------------------------------------------------------------------- #
+# Fused render-tile kernel: PE + MLP + alpha compositing in one kernel
+# --------------------------------------------------------------------- #
+#
+# The [T,4] raw tensor never leaves VMEM: per grid step the kernel marches
+# R whole rays (ray-major points, t = r*S + s), runs the wide-lane-PE MLP,
+# and composites in-kernel. Mosaic has no cumsum/cumprod primitive, so the
+# exclusive transmittance cumprod is exp(log(1-alpha) @ U) with U the
+# strict-upper-triangular [S,S] constant — one tiny MXU matmul per tile
+# (probed on hardware round 2: the [T,1]->[R,S] reshape and this matmul
+# both lower; cumsum/cumprod themselves do not).
+
+
+@functools.lru_cache(maxsize=8)
+def _strict_upper(s: int):
+    import numpy as np
+
+    return np.triu(np.ones((s, s), np.float32), 1)
+
+
+def _render_tile_kernel(pts_ref, dirs_ref, z_ref, dnorm_ref,
+                        selx_ref, freqx_ref, phasex_ref, maskx_ref,
+                        seld_ref, freqd_ref, phased_ref, maskd_ref,
+                        tri_ref, *refs,
+                        depth: int, skips, p_x: int, p_d: int, r: int,
+                        s: int, white_bkgd: bool, compute_dtype,
+                        fast_epilogue: bool):
+    (rgb_out, disp_out, acc_out, depth_out, w_out) = refs[-5:]
+    wrefs = refs[:-5]
+    idx = 0
+
+    def nxt():
+        nonlocal idx
+        k, b = wrefs[idx], wrefs[idx + 1]
+        idx += 2
+        return k, b
+
+    def epilogue(acc, b):
+        if fast_epilogue:
+            return jnp.maximum(acc.astype(compute_dtype)
+                               + b[:].astype(compute_dtype), 0.0)
+        return jnp.maximum(acc + b[:].astype(jnp.float32),
+                           0.0).astype(compute_dtype)
+
+    cd = compute_dtype
+    pe_x = _wide_pe(pts_ref[:], selx_ref, freqx_ref, phasex_ref, maskx_ref,
+                    cd)
+    pe_d = _wide_pe(dirs_ref[:], seld_ref, freqd_ref, phased_ref, maskd_ref,
+                    cd)
+
+    h = None
+    for i in range(depth):
+        k, b = nxt()
+        if i == 0:
+            acc = jnp.dot(pe_x, k[:].astype(cd),
+                          preferred_element_type=jnp.float32)
+        elif (i - 1) in skips:
+            acc = jnp.dot(pe_x, k[:p_x].astype(cd),
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(h, k[p_x:].astype(cd),
+                           preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(h, k[:].astype(cd),
+                          preferred_element_type=jnp.float32)
+        h = epilogue(acc, b)
+
+    fk, fb = nxt()
+    ak, ab = nxt()
+    vk, vb = nxt()
+    rk, rb = nxt()
+
+    sigma = jnp.dot(h, ak[:].astype(cd), preferred_element_type=jnp.float32)
+    sigma += ab[:].astype(jnp.float32)                      # [T, 1]
+    feature = jnp.dot(h, fk[:].astype(cd), preferred_element_type=jnp.float32)
+    feature = (feature + fb[:].astype(jnp.float32)).astype(cd)
+
+    width = feature.shape[-1]
+    hv = jnp.dot(feature, vk[:width].astype(cd),
+                 preferred_element_type=jnp.float32)
+    hv += jnp.dot(pe_d, vk[width:].astype(cd),
+                  preferred_element_type=jnp.float32)
+    hv = epilogue(hv, vb)
+
+    rgb_logits = jnp.dot(hv, rk[:].astype(cd),
+                         preferred_element_type=jnp.float32)
+    rgb_logits += rb[:].astype(jnp.float32)                 # [T, 3]
+
+    # ---- compositing (f32, ops.volume.raw2outputs semantics) ---------- #
+    z = z_ref[:]                                            # [R, S]
+    dn = dnorm_ref[:]                                       # [R, 1]
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full((r, 1), 1e10, jnp.float32)], 1) * dn
+
+    sigma_rs = sigma.reshape(r, s)
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma_rs, 0.0) * dists)
+    # exclusive cumprod of (1 - alpha + 1e-10) via MXU triangular matmul
+    lg = jnp.log(1.0 - alpha + 1e-10)
+    trans = jnp.exp(jnp.dot(lg, tri_ref[:],
+                            preferred_element_type=jnp.float32))
+    w = alpha * trans                                       # [R, S]
+
+    rgb = jax.nn.sigmoid(rgb_logits)                        # [T, 3]
+    cols = [jnp.sum(w * rgb[:, c:c + 1].reshape(r, s), axis=1,
+                    keepdims=True) for c in range(3)]
+    rgb_map = jnp.concatenate(cols, axis=1)                 # [R, 3]
+    depth_map = jnp.sum(w * z, axis=1, keepdims=True)
+    acc_map = jnp.sum(w, axis=1, keepdims=True)
+    disp = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-10))
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map)
+
+    rgb_out[:] = rgb_map
+    disp_out[:] = disp
+    acc_out[:] = acc_map
+    depth_out[:] = depth_map
+    w_out[:] = w
+
+
+def fused_render_tile(params: Dict, rays_o, rays_d, viewdirs, z_vals,
+                      net: NeRFNetConfig, white_bkgd: bool = False,
+                      compute_dtype=jnp.bfloat16, target_tile: int = 4096,
+                      fast_epilogue: bool = False, interpret: bool = False):
+    """Fused march of whole rays: (rays, z_vals) -> composited maps.
+
+    Returns (rgb_map [N,3], disp [N], acc [N], weights [N,S], depth [N]) —
+    the raw2outputs tuple. Per-sample HBM traffic is the z value in and
+    the per-ray maps out; PE, activations, raw rgb/sigma, and the
+    compositing intermediates all stay in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s = z_vals.shape
+    depth_l = sum(1 for k in params
+                  if k.startswith("pts_") and k.endswith("kernel"))
+    # rays per grid step: near target_tile points, multiple of 8 rays
+    r = max(8, (max(1, target_tile // s) // 8) * 8)
+    n_pad = _round_up(n, r)
+    if n_pad != n:
+        pad = n_pad - n
+
+        def padf(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], 0)
+
+        rays_o, rays_d, viewdirs, z_vals = (
+            padf(rays_o), padf(rays_d), padf(viewdirs), padf(z_vals))
+
+    pts = (rays_o[:, None, :]
+           + rays_d[:, None, :] * z_vals[..., None]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(
+        viewdirs[:, None, :], (n_pad, s, 3)).reshape(-1, 3)
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    in_ch = 3 * (1 + 2 * net.multires)
+    p_x = _round_up(in_ch, 64)
+    p_d = _round_up(3 * (1 + 2 * net.multires_views), 32)
+    pe_consts = [jnp.asarray(c)
+                 for c in _wide_pe_consts(3, net.multires, p_x)
+                 ] + [jnp.asarray(c)
+                      for c in _wide_pe_consts(3, net.multires_views, p_d)]
+    tri = jnp.asarray(_strict_upper(s))
+    weights = [w.astype(compute_dtype)
+               for w in _wide_param_list(params, depth_l, tuple(net.skips),
+                                         in_ch, p_x, p_d)]
+
+    t = r * s
+    grid = (n_pad // r,)
+    const_specs = [
+        pl.BlockSpec(c.shape, functools.partial(_zero_index, c.ndim),
+                     memory_space=pltpu.VMEM)
+        for c in pe_consts + [tri]
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, functools.partial(_zero_index, w.ndim),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    kernel = functools.partial(
+        _render_tile_kernel, depth=depth_l, skips=tuple(net.skips),
+        p_x=p_x, p_d=p_d, r=r, s=s, white_bkgd=white_bkgd,
+        compute_dtype=compute_dtype, fast_epilogue=fast_epilogue,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # rgb_map
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # disp
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # acc
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # depth
+        jax.ShapeDtypeStruct((n_pad, s), jnp.float32),   # weights
+    )
+    out_specs = (
+        pl.BlockSpec((r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    rgb_map, disp, acc, depth_map, w = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *const_specs,
+            *w_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(pts, dirs, z_vals, dnorm, *pe_consts, tri, *weights)
+    return (rgb_map[:n], disp[:n, 0], acc[:n, 0], w[:n], depth_map[:n, 0])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp_widepe(params, pts, dirs, net: NeRFNetConfig,
                           compute_dtype=jnp.bfloat16, tile: int = 4096):

@@ -59,14 +59,9 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
         rc.far if far is None else far,
         perturb=rc.perturb, lindisp=rc.lindisp,
     )
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-
-    raw = query_points(models["coarse"], pts, viewdirs, net, compute_dtype,
-                       use_pallas=rc.use_pallas,
-                       pe_projection=rc.pe_projection)
-    rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
-        raw, z_vals, rays_d, key=k_noise0,
-        raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+    rgb_map, disp_map, acc_map, weights, depth_map = _march(
+        models["coarse"], rays_o, rays_d, viewdirs, z_vals, k_noise0,
+        net, rc, compute_dtype,
     )
 
     out = {}
@@ -109,6 +104,35 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
     return out
 
 
+def _march(params, rays_o, rays_d, viewdirs, z_vals, k_noise,
+           net: NeRFNetConfig, rc: RenderConfig, compute_dtype):
+    """One network march + compositing: the fused render-tile Pallas
+    kernel when available (PE, activations, raw rgb/sigma and the
+    compositing intermediates all stay in VMEM), else query_points +
+    raw2outputs. Returns the raw2outputs tuple."""
+    if rc.use_pallas and rc.raw_noise_std == 0.0 and net.use_viewdirs \
+            and net.i_embed != -1:
+        from neuralsim_tpu.kernels.raymarch import (
+            fused_render_tile,
+            pallas_available,
+        )
+
+        if pallas_available():
+            return fused_render_tile(
+                params, rays_o, rays_d, viewdirs, z_vals, net,
+                white_bkgd=rc.white_bkgd, compute_dtype=compute_dtype,
+            )
+
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = query_points(params, pts, viewdirs, net, compute_dtype,
+                       use_pallas=rc.use_pallas,
+                       pe_projection=rc.pe_projection)
+    return raw2outputs(
+        raw, z_vals, rays_d, key=k_noise,
+        raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+    )
+
+
 def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
                k_pdf, k_noise, net: NeRFNetConfig, rc: RenderConfig,
                compute_dtype):
@@ -121,15 +145,10 @@ def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
     z_samples = jax.lax.stop_gradient(z_samples)
 
     z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
-
     fine_params = models.get("fine") or models["coarse"]
-    raw = query_points(fine_params, pts, viewdirs, net, compute_dtype,
-                       use_pallas=rc.use_pallas,
-                       pe_projection=rc.pe_projection)
-    rgb_map, disp_map, acc_map, _, depth_map = raw2outputs(
-        raw, z_all, rays_d, key=k_noise,
-        raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+    rgb_map, disp_map, acc_map, _, depth_map = _march(
+        fine_params, rays_o, rays_d, viewdirs, z_all, k_noise,
+        net, rc, compute_dtype,
     )
     return {
         "rgb_map": rgb_map, "disp_map": disp_map, "acc_map": acc_map,

@@ -171,3 +171,37 @@ def test_widepe_backward_matches_jnp(rng):
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fused_render_tile_matches_reference(rng):
+    """Whole-ray fused kernel (PE + MLP + compositing in-kernel) equals
+    query_points + raw2outputs exactly in f32 — including the triangular-
+    matmul transmittance (Mosaic has no cumprod) and the padding path."""
+    from neuralsim_tpu.kernels.raymarch import fused_render_tile
+    from neuralsim_tpu.models.nerf import query_points
+    from neuralsim_tpu.ops.volume import raw2outputs, stratified_z_vals
+
+    params = init_nerf_params(jax.random.PRNGKey(0), NET)
+    n, s = 20, 16  # n not a multiple of 8 -> exercises ray padding
+    rays_o = jnp.asarray(rng.randn(n, 3).astype(np.float32)) * 0.1
+    rays_d = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z = stratified_z_vals(None, n, s, 0.5, 2.0, perturb=False)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    raw = query_points(params, pts, vd, NET, jnp.float32)
+    want = raw2outputs(raw, z, rays_d)
+    got = fused_render_tile(params, rays_o, rays_d, vd, z, NET,
+                            compute_dtype=jnp.float32, target_tile=128,
+                            interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # white_bkgd branch
+    want_w = raw2outputs(raw, z, rays_d, white_bkgd=True)
+    got_w = fused_render_tile(params, rays_o, rays_d, vd, z, NET,
+                              white_bkgd=True, compute_dtype=jnp.float32,
+                              target_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_w[0]), np.asarray(want_w[0]),
+                               rtol=1e-5, atol=1e-6)
