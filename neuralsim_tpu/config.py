@@ -81,6 +81,15 @@ class RenderConfig:
     # this off (custom_vjp would keep gradients exact, but the scan-free
     # strip programs are the verified-green shape on the v5e backend)
     use_pallas: bool = True
+    # with use_pallas: march whole rays through the fused render-tile
+    # kernel (MLP + compositing in VMEM) instead of MLP-only fusion + XLA
+    # compositing. MEASURED (v5e round 2, interleaved in-program A/B at
+    # 400^2): 210k vs 223k rays/s — the in-kernel compositing VPU chain
+    # serializes against the MXU where XLA's separate pass overlaps with
+    # the next tile's matmuls, and the fine pass runs smaller ray tiles
+    # (T=3072 vs 4096). Correct (112dB vs the split path) but opt-in
+    # until the schedule wins; gated to raw_noise_std == 0.
+    fuse_compositing: bool = False
     # positional-encoding formulation: projection (fast forward path) vs
     # explicit sin/cos (differentiation-safe; see ops.encoding docstring)
     pe_projection: bool = True

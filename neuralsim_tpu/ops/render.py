@@ -110,8 +110,8 @@ def _march(params, rays_o, rays_d, viewdirs, z_vals, k_noise,
     kernel when available (PE, activations, raw rgb/sigma and the
     compositing intermediates all stay in VMEM), else query_points +
     raw2outputs. Returns the raw2outputs tuple."""
-    if rc.use_pallas and rc.raw_noise_std == 0.0 and net.use_viewdirs \
-            and net.i_embed != -1:
+    if rc.use_pallas and rc.fuse_compositing and rc.raw_noise_std == 0.0 \
+            and net.use_viewdirs and net.i_embed != -1:
         from neuralsim_tpu.kernels.raymarch import (
             fused_render_tile,
             pallas_available,
