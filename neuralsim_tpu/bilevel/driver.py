@@ -42,6 +42,7 @@ from neuralsim_tpu.detector.evaluator import coco_map, detections_to_eval
 from neuralsim_tpu.detector.trainer import (
     DetectorState,
     cycle_batches,
+    cycle_indices,
     init_detector,
     inner_train,
     make_detector_apply,
@@ -126,16 +127,22 @@ class BilevelDriver:
             from neuralsim_tpu.ops.occupancy import (
                 build_occupancy_grid,
                 calibrate_hit_budget,
+                derive_scene_bbox,
             )
             from neuralsim_tpu.sampler.poses import (
                 draw_pose_noise,
                 poses_from_noise,
             )
 
-            self.grid = build_occupancy_grid(
-                make_sigma_fn(nerf_models["coarse"], cfg.net),
-                bbox_min=(-0.4,) * 3, bbox_max=(0.4,) * 3,
-            )
+            # bbox DERIVED from the scene (VERDICT r2 #3), not assumed:
+            # probe the density over the generous cube every sample point
+            # of the look-at-origin rig can reach (radius r, depths in
+            # [near, far] -> within max(r - near, far - r) of the origin)
+            sigma_fn = make_sigma_fn(nerf_models["coarse"], cfg.net)
+            half_extent = max(cfg.sampler.radius - self.rc_test.near,
+                              self.rc_test.far - cfg.sampler.radius)
+            bbox_min, bbox_max = derive_scene_bbox(sigma_fn, half_extent)
+            self.grid = build_occupancy_grid(sigma_fn, bbox_min, bbox_max)
             # the configured hit_budget is a FLOOR, not a promise: measure
             # the actual hit fraction over poses spanning all azimuth bins
             # and raise the budget to cover it (+25% drift margin) — a
@@ -152,19 +159,7 @@ class BilevelDriver:
                 self.rc_test,
                 hit_budget=max(self.rc_test.hit_budget, budget))
 
-        if mesh is None:
-            self._render_fn = jax.jit(self._render_impl)
-        else:
-            from jax.sharding import PartitionSpec as P
-
-            from neuralsim_tpu.parallel.mesh import shard_map_compat
-
-            # embarrassingly parallel over poses: each chip builds and
-            # renders its slice of the (padded) K-pose batch locally
-            self._render_fn = jax.jit(shard_map_compat(
-                self._render_impl, mesh=mesh,
-                in_specs=(P(), P("data")), out_specs=P("data"),
-            ))
+        self._build_render_fn()
         self._inner_train_fn = jax.jit(self._inner_train_impl)
         self._val_grad_fn = jax.jit(self._val_grad_impl)
         self._ihvp_fn = jax.jit(self._ihvp_impl)
@@ -179,6 +174,84 @@ class BilevelDriver:
         # of every image across epochs)
         self._strip_grad_cache: Dict = {}
 
+    def _build_render_fn(self):
+        if self.mesh is None:
+            self._render_fn = jax.jit(self._render_impl)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from neuralsim_tpu.parallel.mesh import shard_map_compat
+
+            # embarrassingly parallel over poses: each chip builds and
+            # renders its slice of the (padded) K-pose batch locally;
+            # per-shard occ diagnostics stack on the data axis
+            self._render_fn = jax.jit(shard_map_compat(
+                self._render_impl, mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P("data"), P("data"), P("data")),
+            ))
+
+    def _first_epoch_cull_guard(self, psi, noise, renders):
+        """PSNR consistency probe (VERDICT r2 #3): on the first epoch,
+        re-render a 2-pose sample EXACTLY (no cull, no tightening) and
+        compare against the culled output — a wrong bbox/budget (object
+        outside the derived cube, calibration drift) shows up as a large
+        divergence here instead of silently feeding empty images to the
+        detector. Stores self.last_cull_psnr; warns below 40 dB."""
+        if self.grid is None:
+            return
+        n_probe = min(2, int(renders.shape[0]))
+        noise_p = jax.tree_util.tree_map(lambda x: x[:n_probe], noise)
+        if not hasattr(self, "_cull_guard_fn"):
+            rc_exact = dataclasses.replace(
+                self.rc_test, hit_budget=1.0, tighten_bounds=False)
+            cam = self.cfg.camera
+
+            def guard_impl(p, nz, culled):
+                poses = psi_poses(p, nz, self.cfg.sampler,
+                                  self.cfg.bilevel.psi_mode)
+                exact = render_poses(
+                    self.nerf_models, poses, cam.height, cam.width, cam.K,
+                    None, self.cfg.net, rc_exact)["rgb_map"]
+                return jnp.mean((exact - culled) ** 2)
+
+            self._cull_guard_fn = jax.jit(guard_impl)
+        mse = float(jax.device_get(
+            self._cull_guard_fn(psi, noise_p, renders[:n_probe])))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        self.last_cull_psnr = psnr
+        if psnr < 40.0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "culled render diverges from exact on the first epoch: "
+                "%.1f dB (<40) — occupancy bbox/budget is dropping visible "
+                "content", psnr)
+
+    def _check_occ_budget(self, occ_hit: int, occ_budget: int):
+        """Budget-overflow guard (ADVICE r2): with culling on, any hit ray
+        beyond the static budget silently degrades render quality (the
+        22dB failure mode the round-2 bench caught). When tripped, warn
+        and RE-CALIBRATE: raise the budget to cover the measured hit count
+        (+ the calibration margin) for subsequent epochs."""
+        if self.grid is None or occ_hit <= occ_budget:
+            return
+        import logging
+
+        # budget_count ~= n_rays * hit_budget, so the measured hit fraction
+        # is occ_hit/occ_budget * hit_budget — no K/H/W assumptions
+        frac = occ_hit / max(1, occ_budget) * self.rc_test.hit_budget
+        new_budget = min(1.0, -(-(frac * 1.25) // 0.05) * 0.05)
+        logging.getLogger(__name__).warning(
+            "occupancy budget overflow: %d hit rays > budget %d — "
+            "visible rays were culled this epoch; raising hit_budget "
+            "%.2f -> %.2f", occ_hit, occ_budget,
+            self.rc_test.hit_budget, new_budget)
+        if new_budget > self.rc_test.hit_budget:
+            self.rc_test = dataclasses.replace(
+                self.rc_test, hit_budget=new_budget)
+            self._build_render_fn()
+
     # ------------------------------------------------------------------ #
     # jitted stage implementations
     # ------------------------------------------------------------------ #
@@ -191,9 +264,14 @@ class BilevelDriver:
             self.nerf_models, poses, cam.height, cam.width, cam.K, None,
             self.cfg.net, self.rc_test, grid=self.grid,
         )
-        return out["rgb_map"]
+        # occupancy diagnostics ride along as [1] arrays so the culled
+        # path's budget-overflow guard (ADVICE r2) has a signal; shaped [1]
+        # (not scalar) so the mesh shard_map can stack per-shard values
+        occ_hit = out.get("occ_hit_count", jnp.zeros((), jnp.int32))
+        occ_budget = out.get("occ_budget", jnp.asarray(2 ** 31 - 1, jnp.int32))
+        return (out["rgb_map"], occ_hit.reshape(1), occ_budget.reshape(1))
 
-    def _inner_train_impl(self, det_state, batches: DetBatch):
+    def _inner_train_impl(self, det_state, batches):
         return inner_train(det_state, batches, self.cfg.detector, self.anchors_cat)
 
     def _render_grad_impl(self, psi, noise_g, grad_E_g):
@@ -416,7 +494,7 @@ class BilevelDriver:
                  if bc.psi_mode == "gaussian" else draw_pose_noise(k_noise, sc))
         with phase_timer("render"):
             if self.mesh is None:
-                renders = self._render_fn(psi, noise)        # [K, H, W, 3]
+                renders, occ_hit, occ_budget = self._render_fn(psi, noise)
             else:
                 # pad K up to a multiple of the data axis (edge-repeat),
                 # render sharded, slice the real poses back out
@@ -429,7 +507,15 @@ class BilevelDriver:
                     ) if k_pad > k_real else x,
                     noise,
                 )
-                renders = self._render_fn(psi, noise_p)[:k_real]
+                renders, occ_hit, occ_budget = self._render_fn(psi, noise_p)
+                renders = renders[:k_real]
+        if self.grid is not None:
+            # ONE small transfer (two int32s); warn + recalibrate if the
+            # static budget dropped visible rays this epoch (ADVICE r2)
+            hit_np, budget_np = jax.device_get((occ_hit, occ_budget))
+            self._check_occ_budget(int(hit_np.sum()), int(budget_np.sum()))
+            if epoch == 0:
+                self._first_epoch_cull_guard(psi, noise, renders)
 
         if save_pngs:
             self._save_renders(renders, epoch)
@@ -457,18 +543,20 @@ class BilevelDriver:
                 inputs, gt_boxes, gt_labels, gt_valid = (
                     build_detector_batches(images_np, labels, dc))
             n_render = renders.shape[0]
-            batches = cycle_batches(
-                inputs, gt_boxes, gt_labels, gt_valid,
-                dc.max_iter, dc.images_per_batch, k_batch,
-            )
 
         # [2.2] inner fine-tune (warm start = reuse incoming det_state params)
         if self.mesh is not None and dc.images_per_batch % self.mesh.shape["data"] == 0:
             # data-parallel inner training: per-step image batch sharded
             # over 'data', detector params replicated; the scalar loss
-            # reduction makes XLA psum the grads across chips
+            # reduction makes XLA psum the grads across chips. The batches
+            # are MATERIALIZED here (stacked layout shards cleanly on the
+            # per-step batch axis).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            batches = cycle_batches(
+                inputs, gt_boxes, gt_labels, gt_valid,
+                dc.max_iter, dc.images_per_batch, k_batch,
+            )
             batches = jax.tree_util.tree_map(
                 lambda x: jax.device_put(
                     x, NamedSharding(self.mesh, P(None, "data"))
@@ -477,6 +565,15 @@ class BilevelDriver:
             )
             det_state = jax.device_put(
                 det_state, NamedSharding(self.mesh, P())
+            )
+        else:
+            # memory-lean single-chip path: the scan gathers each step's
+            # batch from the dataset by index (a [n_steps x batch] stack of
+            # image COPIES is ~0.8 GB HBM at 400^2, ~3 GB at 800^2)
+            batches = (
+                DetBatch(inputs, gt_boxes, gt_labels, gt_valid),
+                cycle_indices(inputs.shape[0], dc.max_iter,
+                              dc.images_per_batch, k_batch),
             )
         det_state_in = det_state   # pre-train state (unrolled mode re-runs
         # the trajectory from here under the gradient)
@@ -535,17 +632,19 @@ class BilevelDriver:
             # estimate is decoupled from the inner training data order
             with phase_timer("inverse_hvp"):
                 v = self._val_grad_fn(det_state.params)
-                hvp_batch = jax.tree_util.tree_map(
-                    lambda x: x[0],
-                    cycle_batches(inputs, gt_boxes, gt_labels, gt_valid,
-                                  1, dc.images_per_batch, k_hvp),
-                )
+                hvp_idx = cycle_indices(inputs.shape[0], 1,
+                                        dc.images_per_batch, k_hvp)[0]
+                hvp_batch = DetBatch(inputs[hvp_idx], gt_boxes[hvp_idx],
+                                     gt_labels[hvp_idx], gt_valid[hvp_idx])
                 ihvp = self._ihvp_fn(det_state.params, hvp_batch, v)
 
             # [3.2] grad_E on rendered-class images (reference caps at 100,
-            # neural_sim_main.py:876)
+            # neural_sim_main.py:876). bc.influence_sign (-1 default) applies
+            # the IFT minus the reference omits, so this estimates the TRUE
+            # dL_val/dI like the unrolled mode and the shared descending psi
+            # update minimizes val loss in both modes (see BilevelConfig).
             with phase_timer("grad_E"):
-                grad_E = self._grad_e_fn(
+                grad_E = bc.influence_sign * self._grad_e_fn(
                     det_state.params, renders[:n_ge], gt_boxes[:n_ge],
                     gt_labels[:n_ge], gt_valid[:n_ge], ihvp,
                 )
@@ -627,18 +726,41 @@ class BilevelDriver:
     # ------------------------------------------------------------------ #
 
     def evaluate(self, det_state: DetectorState) -> Dict:
+        """mAP eval as ONE jitted program + ONE bundled host transfer.
+
+        The reference dispatches the whole decode eagerly per batch
+        (detectron2 COCOEvaluator loop); eager per-level top_k + NMS over
+        a ~200ms-latency relay dominated the round-2 epoch profile — here
+        the val set is padded/stacked once, inference lax.maps over the
+        batches inside a single compiled program, and detections cross to
+        the host in one transfer (VERDICT r2 #5)."""
         from neuralsim_tpu.models.retinanet import retinanet_inference
 
         n = self.val_data.images.shape[0]
         bs = min(self.cfg.detector.images_per_batch, n)
-        det_list = []
-        for start in range(0, n, bs):
-            imgs = self.val_data.images[start: start + bs]
-            dets = retinanet_inference(
-                self.det_apply, det_state.params, imgs,
-                self.anchors_per_level, self.cfg.detector,
-            )
-            det_list.extend(detections_to_eval(dets))
+        n_batches = -(-n // bs)
+        if not hasattr(self, "_eval_stack"):
+            imgs = self.val_data.images
+            n_pad = n_batches * bs
+            if n_pad != n:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.zeros((n_pad - n,) + imgs.shape[1:],
+                                     imgs.dtype)], 0)
+            self._eval_stack = imgs.reshape((n_batches, bs) + imgs.shape[1:])
+
+            def eval_impl(params, stacked):
+                return jax.lax.map(
+                    lambda b: retinanet_inference(
+                        self.det_apply, params, b,
+                        self.anchors_per_level, self.cfg.detector),
+                    stacked,
+                )
+
+            self._eval_fn = jax.jit(eval_impl)
+        dets = self._eval_fn(det_state.params, self._eval_stack)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], dets)
+        det_list = detections_to_eval(flat)
         # the val set is fixed for the driver's lifetime: transfer the gt
         # ONCE (bundled — per-element np.asarray costs a relay round trip)
         if not hasattr(self, "_gt_list"):

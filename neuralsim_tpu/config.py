@@ -114,6 +114,12 @@ class RenderConfig:
     # and tests. n_samples_culled=None keeps rc.n_samples.
     tighten_bounds: bool = False
     n_samples_culled: int | None = 16
+    # cull scorer: "aabb" (default) = closed-form ray/bbox slab test —
+    # zero gathers (the per-sample voxel probe costs ~715ms/pass at 1.28M
+    # rays on v5e, measured round 3) with per-ray z bounds from the slab
+    # entry/exit; "grid" = per-sample voxel probing (tighter z intervals
+    # for concave scenes, reference-faithful occupancy semantics)
+    cull_mode: str = "aabb"
     near: float = 0.3103964843749999   # pipeline default: info.near - 0.5
     far: float = 1.9297681884765627    # pipeline default: info.far + 0.5
 
@@ -242,6 +248,16 @@ class BilevelConfig:
     ihvp_solver: str = "onestep"
     ihvp_damping: float = 1e-2
     cg_iters: int = 10
+    # sign applied to the influence-mode grad_E before the psi chain rule.
+    # The implicit function theorem gives dL_val/dI = -(d2L_tr/dI dtheta)
+    # H^{-1} grad L_val — the reference OMITS this minus
+    # (neural_sim_main.py:855-911 computes +mixed.ihvp and descends,
+    # :1080-1083), so its influence updates ASCEND the val loss whenever the
+    # approximation is accurate. -1.0 (default) is the IFT-correct descent
+    # direction, matching the "unrolled" mode's true gradient (verified by
+    # tests/test_influence.py::test_influence_ift_sign_matches_true_gradient);
+    # +1.0 reproduces the reference's raw convention.
+    influence_sign: float = -1.0
     grad_e_max_images: int = 100        # reference cap (neural_sim_main.py:876)
     # psi render-gradient mode:
     #   "strips" (default): host loop over (image, pixel strip); every
@@ -435,6 +451,7 @@ _FLAG_MAP = {
     # gaussian psi, psi-gradient mode selection)
     "hit_budget": ("render", "hit_budget"),
     "tighten_bounds": ("render", "tighten_bounds"),
+    "cull_mode": ("render", "cull_mode"),
     "n_samples_culled": ("render", "n_samples_culled"),
     "use_pallas": ("render", "use_pallas"),
     "fine_fraction": ("render", "fine_fraction"),

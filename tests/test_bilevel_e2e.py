@@ -23,6 +23,8 @@ from neuralsim_tpu.bilevel.driver import BilevelDriver, ValData
 from neuralsim_tpu.detector.dataset import build_detector_batches
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 
 def tiny_cfg():
     return NeuralSimConfig(
@@ -204,3 +206,95 @@ def test_production_culled_epoch(driver):
     rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
     assert np.isfinite(rec["grad_psi"]).all()
     assert np.isfinite(rec["inner_loss"])
+
+
+def test_influence_sign_plumbs_to_grad_psi(driver):
+    """bc.influence_sign flips grad_psi exactly (the outer loss is linear in
+    grad_E): +1.0 reproduces the reference's raw convention, the -1.0
+    default is the IFT descent direction (see BilevelConfig)."""
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    psi0 = psi_init("uniform")
+    det = init_detector(jax.random.PRNGKey(13), driver.cfg.detector)
+    grads = {}
+    for sign in (1.0, -1.0):
+        cfg = dataclasses.replace(
+            driver.cfg,
+            bilevel=dataclasses.replace(driver.cfg.bilevel,
+                                        influence_sign=sign),
+        )
+        drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                            key=jax.random.PRNGKey(21), object_class=0,
+                            output_dir=driver.output_dir)
+        popt = psi_optimizer_init("sgd", 1e-3)
+        rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
+        grads[sign] = np.asarray(rec["grad_psi"])
+    scale = np.abs(grads[1.0]).max()
+    np.testing.assert_allclose(grads[-1.0], -grads[1.0], rtol=1e-5,
+                               atol=1e-7 * max(scale, 1e-20))
+
+
+def test_occ_budget_guard_recalibrates(driver, caplog):
+    """Budget-overflow guard (ADVICE r2): when the rendered epoch's hit
+    count exceeds the static cull budget, the driver warns and raises
+    hit_budget for subsequent epochs; under-budget epochs are no-ops."""
+    import logging
+
+    cfg = dataclasses.replace(
+        driver.cfg,
+        render=dataclasses.replace(driver.cfg.render, hit_budget=0.25,
+                                   tighten_bounds=True, n_samples_culled=4),
+    )
+    drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                        key=jax.random.PRNGKey(30), object_class=0,
+                        output_dir=driver.output_dir)
+    calibrated = drv.rc_test.hit_budget
+
+    drv._check_occ_budget(occ_hit=10, occ_budget=100)      # under budget
+    assert drv.rc_test.hit_budget == calibrated
+
+    with caplog.at_level(logging.WARNING):
+        drv._check_occ_budget(occ_hit=10 ** 6, occ_budget=100)
+    assert "budget overflow" in caplog.text
+    assert drv.rc_test.hit_budget == 1.0  # huge overflow -> clamped full
+
+
+def test_evaluate_jitted_matches_eager_with_tail(driver):
+    """The one-program jitted evaluate (VERDICT r2 #5) must equal the eager
+    per-batch decode, including a tail batch smaller than images_per_batch
+    (3 images at batch 2 -> one padded slot, sliced back off)."""
+    import tempfile
+
+    from neuralsim_tpu.detector.trainer import init_detector
+    from neuralsim_tpu.models.retinanet import retinanet_inference
+    from neuralsim_tpu.detector.evaluator import coco_map, detections_to_eval
+
+    rng = np.random.RandomState(3)
+    val_imgs = np.zeros((3, 32, 32, 3), np.float32)
+    val_imgs[0, 8:20, 8:20] = 0.9
+    val_imgs[1, 12:28, 4:16] = 0.7
+    val_imgs[2, 2:10, 20:30] = 0.8
+    images, boxes, labels, valid = build_detector_batches(
+        val_imgs, [0, 1, 0], driver.cfg.detector)
+    val = ValData(images, boxes, labels, valid)
+    drv = BilevelDriver(driver.cfg, driver.nerf_models, val,
+                        key=jax.random.PRNGKey(40), object_class=0,
+                        output_dir=tempfile.mkdtemp())
+    det = init_detector(jax.random.PRNGKey(41), driver.cfg.detector)
+
+    got = drv.evaluate(det)
+
+    det_list = []
+    for start in range(0, 3, 2):
+        dets = retinanet_inference(
+            drv.det_apply, det.params, val.images[start:start + 2],
+            drv.anchors_per_level, driver.cfg.detector)
+        det_list.extend(detections_to_eval(dets))
+    want = coco_map(det_list, drv._gt_list)
+    for k in ("AP", "AP50", "AP75"):
+        if np.isnan(want[k]):
+            assert np.isnan(got[k])
+        else:
+            assert got[k] == pytest.approx(want[k], abs=1e-6)

@@ -128,3 +128,31 @@ def test_hvp_mean_over_batches(rng):
     # mean of 2v and 4v = 3v
     np.testing.assert_allclose(np.asarray(out["theta"]),
                                3 * np.asarray(v["theta"]), rtol=1e-5)
+
+
+def test_influence_ift_sign_matches_true_gradient(rng):
+    """The implicit-function-theorem sign: the true dL_val/dI equals the
+    NEGATED influence product mixed.(H^-1 v) — the reference omits the minus
+    (neural_sim_main.py:855-911), so BilevelConfig.influence_sign defaults
+    to -1.0. Exact on a quadratic inner problem with a closed-form argmin.
+
+    inner: L_tr(theta, I) = 0.5||theta - A I||^2  -> theta*(I) = A I, H = Id
+    val:   L_val(theta)   = 0.5||theta - t||^2
+    true:  dL_val/dI = A^T (theta* - t)
+    """
+    A = jnp.asarray(rng.randn(4, 3), jnp.float32)
+    t = jnp.asarray(rng.randn(4), jnp.float32)
+    img = jnp.asarray(rng.randn(3), jnp.float32)
+    theta_star = A @ img
+
+    loss_tr = lambda p, i: 0.5 * jnp.sum((p - A @ i) ** 2)
+    loss_val = lambda p: 0.5 * jnp.sum((p - t) ** 2)
+
+    v = jax.grad(loss_val)(theta_star)
+    ihvp = inverse_hvp(loss_tr, theta_star, img, v, method="cg",
+                       damping=0.0, cg_iters=8)
+    # reference-convention (positive) influence grad_E
+    grad_e_ref = mixed_grad_wrt_images(loss_tr, theta_star, img[None], ihvp)[0]
+    true = jax.grad(lambda i: loss_val(A @ i))(img)
+    np.testing.assert_allclose(np.asarray(-grad_e_ref), np.asarray(true),
+                               rtol=1e-4, atol=1e-6)
