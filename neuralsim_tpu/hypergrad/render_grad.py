@@ -162,9 +162,13 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
     arguments: the round-2 TPU bisect (V1/V3 green, V2 red) showed the v5e
     register allocator also RET_CHECKs when the differentiated render takes
     the model pytree as a jit argument — embedding it as a constant is the
-    verified-green formulation. The cache key carries the params' buffer
-    identity so a new model set compiles fresh programs.
+    verified-green formulation. Each cache entry holds a WEAKREF to the
+    params leaf it was compiled against and is invalidated when the leaf
+    dies or differs — keying on id() would silently serve a program with
+    STALE embedded weights if CPython reused a GC'd pytree's id (ADVICE r2).
     """
+    import weakref
+
     n_img = grad_E.shape[0]
     n_pix = H * W
     strip = min(strip or rc.ray_chunk, n_pix)
@@ -172,26 +176,26 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
     ge_flat = grad_E.reshape(n_img, n_pix, 3)
 
     cache = jit_cache if jit_cache is not None else {}
-    # buffer identity of the closed-over params (stable while the caller —
-    # the driver — holds the model pytree alive)
-    models_id = id(jax.tree_util.tree_leaves(models)[0])
+    leaf = jax.tree_util.tree_leaves(models)[0]
 
     def strip_fn(start: int, s: int):
         # one compiled program per (start, length); the tail strip is its
         # own (smaller) program — no padding, no dynamic offsets
-        key = ("strip_grad", models_id, start, s, H, W, psi_mode)
-        if key not in cache:
+        key = ("strip_grad", start, s, H, W, psi_mode)
+        entry = cache.get(key)
+        if entry is None or entry[0]() is not leaf:
             rc_strip = dataclasses.replace(
                 rc, remat=False, pe_projection=False,
                 compute_dtype="float32", ray_chunk=s, use_pallas=False)
-            cache[key] = jax.jit(
+            program = jax.jit(
                 lambda p, nz, ge: jax.grad(
                     lambda pp: psi_strip_loss(models, pp, nz, ge, start, H,
                                               W, K, net, rc_strip, sc,
                                               psi_mode)
                 )(p)
             )
-        return cache[key]
+            cache[key] = (weakref.ref(leaf), program)
+        return cache[key][1]
 
     total = jnp.zeros_like(psi)
     for i in range(n_img):

@@ -17,9 +17,12 @@ from neuralsim_tpu.hypergrad.render_grad import (
 )
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
 from neuralsim_tpu.sampler.poses import (
+
     draw_pose_noise,
     draw_pose_noise_gaussian,
 )
+
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
 
 NET = NeRFNetConfig(netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=16,
                     skips=(0,), multires=2, multires_views=1)
@@ -84,3 +87,35 @@ def test_strip_jit_cache_reused(scene):
     render_grad_psi_strips(models, psi, noise, grad_E, H, W, K, NET, RC, SC,
                            strip=64, jit_cache=cache)
     assert len(cache) == 3
+
+
+def test_strip_cache_invalidates_on_model_swap(scene):
+    """Regression (ADVICE r2): cache entries embed the model weights as
+    compile-time constants. Swapping the model pytree (old one GC'd — the
+    id()-reuse hazard) must recompile, not serve stale-weight programs."""
+    import gc
+
+    _, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32)
+    noise = draw_pose_noise(jax.random.PRNGKey(5), SC, num_k=3)
+    cache = {}
+
+    models_a = init_nerf_pipeline_params(jax.random.PRNGKey(10), NET,
+                                         RC.n_importance)
+    g_a = np.asarray(render_grad_psi_strips(
+        models_a, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        strip=H * W, jit_cache=cache))
+    del models_a
+    gc.collect()
+
+    models_b = init_nerf_pipeline_params(jax.random.PRNGKey(11), NET,
+                                         RC.n_importance)
+    g_b_shared = np.asarray(render_grad_psi_strips(
+        models_b, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        strip=H * W, jit_cache=cache))
+    g_b_fresh = np.asarray(render_grad_psi_strips(
+        models_b, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        strip=H * W, jit_cache={}))
+    np.testing.assert_allclose(g_b_shared, g_b_fresh, rtol=1e-6)
+    # and the models genuinely differ, so a stale program would show
+    assert not np.allclose(g_a, g_b_fresh)
