@@ -143,13 +143,17 @@ def train_step(state: DetectorState, batch: DetBatch, dc: DetectorConfig,
                          state.step + 1), {"loss": total, **losses}
 
 
-def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,
+def inner_train(state: DetectorState, batches, dc: DetectorConfig,
                 anchors_cat=None, remat: bool = False):
     """Run the full inner fine-tune as one lax.scan.
 
     Args:
-      batches: DetBatch whose leaves carry a leading [n_steps] axis —
-        n_steps batches of images_per_batch images each.
+      batches: either a DetBatch whose leaves carry a leading [n_steps]
+        axis (n_steps materialized batches — the mesh-sharded DP path), or
+        an ``(dataset: DetBatch [N, ...], idx: [n_steps, batch]) `` pair —
+        the memory-lean form: each scan step GATHERS its batch from the
+        dataset instead of holding n_steps duplicated image copies in HBM
+        (50x8 copies at 800^2 is ~3 GB; the gathered form is ~the dataset).
       remat: rematerialize each step in reverse mode — required when the
         whole trajectory is differentiated (hypergrad.unrolled): memory
         stays at one step's activations instead of n_steps'.
@@ -159,14 +163,25 @@ def inner_train(state: DetectorState, batches: DetBatch, dc: DetectorConfig,
     if anchors_cat is None:
         anchors_cat = jnp.concatenate(generate_anchors(dc.image_size), axis=0)
 
-    def body(s, batch):
-        s, metrics = train_step(s, batch, dc, anchors_cat)
-        return s, metrics
+    if isinstance(batches, DetBatch):
+        def body(s, batch):
+            return train_step(s, batch, dc, anchors_cat)
+
+        xs = batches
+    else:
+        data, idx = batches
+
+        def body(s, step_idx):
+            batch = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, step_idx, axis=0), data)
+            return train_step(s, batch, dc, anchors_cat)
+
+        xs = idx
 
     if remat:
         body = jax.checkpoint(body)
 
-    return jax.lax.scan(body, state, batches)
+    return jax.lax.scan(body, state, xs)
 
 
 def auto_scale_config(dc: DetectorConfig, world_size: int) -> DetectorConfig:
@@ -186,16 +201,26 @@ def auto_scale_config(dc: DetectorConfig, world_size: int) -> DetectorConfig:
     )
 
 
-def cycle_batches(images, gt_boxes, gt_labels, gt_valid, n_steps: int,
-                  batch_size: int, key) -> DetBatch:
-    """Assemble [n_steps, batch_size, ...] training batches by shuffled
-    cycling through the dataset (the reference's infinite training loader
-    semantics over a small synthetic set)."""
-    n = images.shape[0]
+def cycle_indices(n: int, n_steps: int, batch_size: int, key) -> jnp.ndarray:
+    """[n_steps, batch_size] dataset indices by shuffled cycling (the
+    reference's infinite training loader semantics over a small synthetic
+    set). This is THE batch schedule: cycle_batches materializes exactly
+    these picks, and the unrolled hypergradient replays them by key."""
     total = n_steps * batch_size
     reps = -(-total // n)
     perm = jnp.concatenate(
-        [jax.random.permutation(jax.random.fold_in(key, r), n) for r in range(reps)]
+        [jax.random.permutation(jax.random.fold_in(key, r), n)
+         for r in range(reps)]
     )[:total]
-    pick = lambda x: x[perm].reshape((n_steps, batch_size) + x.shape[1:])
+    return perm.reshape(n_steps, batch_size)
+
+
+def cycle_batches(images, gt_boxes, gt_labels, gt_valid, n_steps: int,
+                  batch_size: int, key) -> DetBatch:
+    """Materialized [n_steps, batch_size, ...] batches from cycle_indices —
+    used where the stacked layout must be device_put with an explicit
+    sharding (mesh DP inner training). The memory-lean path passes
+    ``(DetBatch(dataset), cycle_indices(...))`` to inner_train instead."""
+    idx = cycle_indices(images.shape[0], n_steps, batch_size, key).reshape(-1)
+    pick = lambda x: x[idx].reshape((n_steps, batch_size) + x.shape[1:])
     return DetBatch(pick(images), pick(gt_boxes), pick(gt_labels), pick(gt_valid))

@@ -31,7 +31,7 @@ from neuralsim_tpu.config import DetectorConfig
 from neuralsim_tpu.detector.dataset import build_detector_batches_device
 from neuralsim_tpu.detector.trainer import (
     DetectorState,
-    cycle_batches,
+    cycle_indices,
     inner_train,
     merge_params,
     split_trainable,
@@ -67,10 +67,15 @@ def unrolled_grad_images(det_apply, det_state0: DetectorState, images,
 
     def loss_of_images(imgs):
         inputs, gb, gl, gv = build_detector_batches_device(imgs, labels, dc)
-        batches = cycle_batches(inputs, gb, gl, gv, dc.max_iter,
-                                dc.images_per_batch, batch_key)
-        final, _ = inner_train(det_state0, batches, dc, anchors_cat,
-                               remat=True)
+        # gather-by-index batches: the backward accumulates per-step image
+        # cotangents into the dataset by scatter-add instead of holding a
+        # [n_steps x batch] stack of image cotangents (identical schedule —
+        # cycle_indices IS cycle_batches' pick order for the same key)
+        idx = cycle_indices(inputs.shape[0], dc.max_iter,
+                            dc.images_per_batch, batch_key)
+        final, _ = inner_train(det_state0,
+                               (DetBatch(inputs, gb, gl, gv), idx),
+                               dc, anchors_cat, remat=True)
         return val_loss_sum(det_apply, final.params, val_data, dc,
                             anchors_cat)
 

@@ -189,3 +189,34 @@ def test_auto_scale_config():
     assert abs(scaled.base_lr - 1e-3) < 1e-9
     assert scaled.warmup_iters == 2
     assert scaled.max_iter == 12
+
+
+def test_inner_train_indexed_matches_stacked(det):
+    """The memory-lean (dataset, cycle_indices) form of inner_train gathers
+    each step's batch in-scan and must produce EXACTLY the stacked
+    cycle_batches trajectory (same key -> same schedule)."""
+    from neuralsim_tpu.detector.trainer import cycle_indices
+
+    state, _ = det
+    key = jax.random.PRNGKey(7)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(5, 64, 64, 3), jnp.float32)
+    boxes = jnp.tile(jnp.asarray([[8.0, 8.0, 40.0, 40.0]]), (5, 1, 1))
+    labels = jnp.zeros((5, 1), jnp.int32)
+    valid = jnp.ones((5, 1), bool)
+    dc = dataclasses.replace(DC, max_iter=4, images_per_batch=2)
+
+    from neuralsim_tpu.detector.trainer import cycle_batches as cb
+
+    stacked = cb(imgs, boxes, labels, valid, 4, 2, key)
+    s_stacked, m_stacked = inner_train(state, stacked, dc)
+
+    idx = cycle_indices(5, 4, 2, key)
+    s_idx, m_idx = inner_train(
+        state, (DetBatch(imgs, boxes, labels, valid), idx), dc)
+
+    np.testing.assert_array_equal(np.asarray(m_stacked["loss"]),
+                                  np.asarray(m_idx["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s_stacked.params),
+                    jax.tree_util.tree_leaves(s_idx.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

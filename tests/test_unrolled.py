@@ -25,6 +25,8 @@ from neuralsim_tpu.detector.trainer import (
 from neuralsim_tpu.hypergrad.unrolled import unrolled_grad_images, val_loss_sum
 from neuralsim_tpu.models.retinanet import generate_anchors
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 # base_lr above the reference's 2.5e-4 but below instability: at 3 tiny
 # steps the val loss must depend MEASURABLY on the train images (at the
 # reference LR the derivative ~7e-4 drowns in ~5e-4 f32 FD noise; at 0.05
