@@ -90,7 +90,11 @@ def build_detector_batches_device(images, labels: Sequence[int],
 
     imgs = jnp.asarray(images)[..., :3]
     n, h, w, _ = imgs.shape
-    u8 = jnp.round(jnp.clip(imgs, 0.0, 1.0) * 255.0)
+    # floor, not round: matches the host path's to8b truncation
+    # ((clip*255).astype(uint8), reference run_nerf_helpers.py:14) so a
+    # pixel near the threshold classifies identically whether annotated
+    # on-device or from the written PNG (ADVICE r2)
+    u8 = jnp.floor(jnp.clip(imgs, 0.0, 1.0) * 255.0)
     gray = jnp.round(u8 @ jnp.asarray(_LUMA, jnp.float32))
     mask = gray > 1.0                                    # [N, H, W]
     rows = jnp.any(mask, axis=2)                         # [N, H]

@@ -105,3 +105,30 @@ def test_device_batches_match_host_path():
     hv = np.asarray(h_val)[:, 0]
     np.testing.assert_allclose(np.asarray(d_box)[hv, 0],
                                np.asarray(h_box)[hv, 0], atol=1e-6)
+
+
+def test_device_quantization_matches_host_at_threshold():
+    """Regression (ADVICE r2): the device path must quantize with the same
+    floor (to8b truncation) as the host/PNG path, so threshold-adjacent
+    gray pixels (u8 gray == 1 vs 2) classify identically in both."""
+    import jax.numpy as jnp
+
+    from neuralsim_tpu.config import DetectorConfig
+    from neuralsim_tpu.detector.dataset import (
+        build_detector_batches,
+        build_detector_batches_device,
+    )
+
+    dc = DetectorConfig(num_classes=2, image_size=64)
+    # constant 1.6/255: round -> u8 2 (foreground), floor -> u8 1
+    # (background). One real object pixel so the box is well-defined.
+    imgs = np.full((1, 32, 32, 3), 1.6 / 255.0, np.float32)
+    imgs[0, 10:14, 10:14] = 0.9
+    labels = [0]
+
+    _, h_box, _, h_val = build_detector_batches(imgs, labels, dc)
+    _, d_box, _, d_val = build_detector_batches_device(
+        jnp.asarray(imgs), labels, dc)
+    np.testing.assert_array_equal(np.asarray(d_val), np.asarray(h_val))
+    np.testing.assert_allclose(np.asarray(d_box)[0, 0],
+                               np.asarray(h_box)[0, 0], atol=1e-6)
