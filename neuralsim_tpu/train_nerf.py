@@ -117,8 +117,10 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
     With a mesh, ray batches and grads shard over the data axis (pjit
     inserts the psum) — the multi-chip path exercised by dryrun_multichip.
 
-    ``hook(i, state)`` is called after every step with the 1-based iteration
-    — the carrier for the reference's periodic in-loop artifacts (.tar every
+    ``hook(i, state)`` is called after every step with the 1-based GLOBAL
+    step (``state.step`` — resumed runs continue the restored numbering, so
+    periodic artifact names never collide with earlier-step checkpoints) —
+    the carrier for the reference's periodic in-loop artifacts (.tar every
     i_weights, spiral video every i_video, test-set renders every i_testset;
     run_nerf_noscale.py:723-756). ``state`` warm-starts from a restored
     checkpoint instead of a fresh init.
@@ -143,6 +145,9 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
 
     i_train = dataset.i_split[0]
     n_iters = n_iters if n_iters is not None else tc.n_iters
+    # global-step base for the hook: a restored state carries its step, so
+    # periodic artifacts continue the checkpoint's numbering (ADVICE r2)
+    start_step = int(state.step)
     metrics = {}
     for it in range(n_iters):
         key, k_img, k_pix, k_render = jax.random.split(key, 4)
@@ -160,5 +165,5 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
             print(f"[train] iter {it} loss {float(metrics['loss']):.5f} "
                   f"psnr {float(metrics['psnr']):.2f}")
         if hook is not None:
-            hook(it + 1, state)
+            hook(start_step + it + 1, state)
     return state, metrics

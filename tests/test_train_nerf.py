@@ -5,16 +5,20 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neuralsim_tpu.config import NeRFNetConfig, RenderConfig, TrainConfig
 from neuralsim_tpu.data.blender import CameraParams, LinemodDataset
 from neuralsim_tpu.train_nerf import (
+
     init_train_state,
     make_optimizer,
     sample_image_rays,
     train_nerf,
     train_step,
 )
+
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
 
 NET = NeRFNetConfig(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
                     skips=(0,), multires=4, multires_views=2)
@@ -96,3 +100,20 @@ def test_train_step_pure_and_deterministic():
     l1 = jax.tree_util.tree_leaves(s1.params)
     l2 = jax.tree_util.tree_leaves(s2.params)
     assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(l1, l2))
+
+
+def test_hook_continues_global_step_on_resume():
+    """Resumed runs must number periodic artifacts by the GLOBAL step
+    (state.step), not the loop-local iteration — otherwise a warm start
+    renumbers from 1 and overwrites earlier checkpoints (ADVICE r2)."""
+    from neuralsim_tpu.train_nerf import TrainState
+
+    ds = _synthetic_dataset()
+    state, _ = train_nerf(ds, NET, RC, TC, key=jax.random.PRNGKey(0),
+                          n_iters=3)
+    assert int(state.step) == 3
+
+    seen = []
+    train_nerf(ds, NET, RC, TC, key=jax.random.PRNGKey(1), n_iters=2,
+               state=state, hook=lambda i, s: seen.append(i))
+    assert seen == [4, 5]
