@@ -9,9 +9,10 @@ fixture's derivation is written out in full so the constants are auditable.
 The reference scores with exactly this protocol via COCOEvaluator
 (neural_sim_main.py:847-853).
 
-Known deliberate divergences from full COCOeval (documented, untested here
-because the pipeline never produces them): no iscrowd handling, no
-area-range tiers (APs/APm/APl).
+Round 3 completes the protocol: iscrowd ignore-matching with the
+crowd-IoU denominator, area-range tiers (APs/APm/APl with gt- and
+det-side ignore semantics), and the full detectron2 bbox key set —
+each with hand-derived goldens below.
 """
 
 import numpy as np
@@ -130,3 +131,87 @@ def test_second_det_cannot_steal_matched_gt():
     r = coco_map([_det([[0, 0, 10, 10], [0, 0, 10, 11]], [0.9, 0.8], [0, 0])],
                  [_gt([[0, 0, 10, 10]], [0])])
     assert r["AP"] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_area_tiers_partition_gts():
+    """Two exact-match dets: gt1 area 400 (small: < 32^2), gt2 area 2500
+    (medium: 32^2..96^2). In each tier the other gt is area-IGNORED, its
+    matching det is ignore-matched (neither TP nor FP), and n_gt=1 ->
+    perfect precision at full recall: APs = APm = AP = 100. No large gt
+    exists -> APl is NaN (pycocotools yields -1*nan there; detectron2
+    prints nan)."""
+    r = coco_map(
+        [_det([[0, 0, 20, 20]], [0.9], [0]),
+         _det([[0, 0, 50, 50]], [0.8], [0])],
+        [_gt([[0, 0, 20, 20]], [0]),
+         _gt([[0, 0, 50, 50]], [0])],
+    )
+    assert r["AP"] == pytest.approx(100.0, abs=1e-6)
+    assert r["APs"] == pytest.approx(100.0, abs=1e-6)
+    assert r["APm"] == pytest.approx(100.0, abs=1e-6)
+    assert np.isnan(r["APl"])
+
+
+def test_unmatched_out_of_range_det_is_not_fp():
+    """A det whose own area falls outside the range and matches nothing is
+    IGNORED there, not an FP (pycocotools dtIg |= unmatched & out-of-range).
+    Small tier: the stray 2500-px det (score .95, above the TP) would halve
+    APs if counted as FP; correct handling keeps APs=100."""
+    r = coco_map(
+        [_det([[0, 0, 20, 20], [40, 40, 90, 90]], [0.9, 0.95], [0, 0])],
+        [_gt([[0, 0, 20, 20]], [0])],
+    )
+    assert r["APs"] == pytest.approx(100.0, abs=1e-6)
+    # in "all" the stray det IS an FP above the TP: precision at the TP's
+    # rank is 1/2, envelope gives AP = 50
+    assert r["AP"] == pytest.approx(50.0, abs=1e-6)
+
+
+def test_iscrowd_ignore_and_crowd_iou():
+    """Crowd gts are never counted (n_gt excludes them) and never penalize:
+    a det INSIDE the crowd region (union-IoU only 0.64, crowd-IoU
+    intersection/det_area = 1.0) ignore-matches the crowd at EVERY
+    threshold, even > 0.65 — so the lower-scored true match keeps AP=100.
+    Both without crowd-ignore (stray det = FP above the TP -> AP 50) and
+    without the crowd-IoU denominator (FP at thresholds > 0.6 -> AP 40-ish)
+    this assertion fails."""
+    gt = {"boxes": np.asarray([[0, 0, 10, 10], [20, 0, 40, 20]], np.float64),
+          "labels": np.asarray([0, 0], np.int64),
+          "iscrowd": np.asarray([False, True])}
+    r = coco_map(
+        [_det([[0, 0, 10, 10], [22, 2, 38, 18]], [0.9, 0.95], [0, 0])],
+        [gt],
+    )
+    assert r["AP"] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_explicit_gt_areas_override_box_area():
+    """The optional per-gt 'areas' field (the COCO annotation area) drives
+    the tier split: a 20x20 box declared area=2000 counts as MEDIUM."""
+    gt = {"boxes": np.asarray([[0, 0, 20, 20]], np.float64),
+          "labels": np.asarray([0], np.int64),
+          "areas": np.asarray([2000.0])}
+    r = coco_map([_det([[0, 0, 20, 20]], [0.9], [0])], [gt])
+    assert r["APm"] == pytest.approx(100.0, abs=1e-6)
+    assert np.isnan(r["APs"])
+
+
+def test_result_keys_match_detectron2_bbox_dict():
+    """save_result.txt parity (neural_sim_main.py:847-853 logs
+    str(result['bbox'])): flattened key ORDER and names match detectron2's
+    bbox dict — AP, AP50, AP75, APs, APm, APl, AP-{class name}."""
+    from neuralsim_tpu.utils.logging import map_result_str
+
+    r = coco_map([_det([[0, 0, 20, 20]], [0.9], [0])],
+                 [_gt([[0, 0, 20, 20]], [0])],
+                 class_names={0: "master_chef_can"})
+    flat_keys = []
+    for k, v in r.items():
+        if isinstance(v, dict):
+            flat_keys.extend(f"AP-{c}" for c in v)
+        else:
+            flat_keys.append(k)
+    assert flat_keys == ["AP", "AP50", "AP75", "APs", "APm", "APl",
+                         "AP-master_chef_can"]
+    line = map_result_str(r)
+    assert line.startswith("{'AP': ") and "'AP-master_chef_can':" in line
