@@ -49,10 +49,11 @@ import numpy as np
 NORTH_STAR_RAYS_PER_SEC = 5.0e6
 
 
-def box_scene_params(net, key, half=0.06, density=80.0):
+def box_scene_params(net, key, half=0.06, density=80.0,
+                     center=(0.0, 0.0, 0.0)):
     """Full-size NeRF MLP computing an EXACT box density:
-    sigma = density * relu(1 - 50 * sum_axes relu(|coord| - half)), zero
-    outside the box — hand-constructed weights (PE rows 0-2 are the raw
+    sigma = density * relu(1 - 50 * sum_axes relu(|coord - center| - half)),
+    zero outside the box — hand-constructed weights (PE rows 0-2 are the raw
     coords), layers 1..7 pass the 7 carrier units through identity blocks,
     layer 7 computes the gate. Per-ray FLOPs equal a real checkpoint's."""
     from neuralsim_tpu.models.nerf import init_nerf_params
@@ -71,7 +72,8 @@ def box_scene_params(net, key, half=0.06, density=80.0):
     for axis in range(3):
         k0 = k0.at[axis, 2 * axis].set(1.0)
         k0 = k0.at[axis, 2 * axis + 1].set(-1.0)
-        b0 = b0.at[2 * axis].set(-half).at[2 * axis + 1].set(-half)
+        b0 = b0.at[2 * axis].set(-half - center[axis])
+        b0 = b0.at[2 * axis + 1].set(-half + center[axis])
     b0 = b0.at[6].set(1.0)
     params["pts_0_kernel"], params["pts_0_bias"] = k0, b0
 
@@ -98,7 +100,10 @@ def main():
 
     from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
     from neuralsim_tpu.models.nerf import make_sigma_fn
-    from neuralsim_tpu.ops.occupancy import build_occupancy_grid
+    from neuralsim_tpu.ops.occupancy import (
+        build_occupancy_grid,
+        derive_scene_bbox,
+    )
     from neuralsim_tpu.ops.render import render_poses
     from neuralsim_tpu.sampler.poses import pose_spherical
 
@@ -123,8 +128,13 @@ def main():
     poses = pose_spherical(
         jnp.linspace(0.0, 300.0, n_poses), jnp.full((n_poses,), -30.0), 1.01
     )
+    # bbox derived from the density field (the driver does the same —
+    # nothing is assumed about where/how large the object is)
+    sigma_fn = make_sigma_fn(params, net)
+    bbox_min, bbox_max = derive_scene_bbox(
+        sigma_fn, half_extent=max(1.01 - rc.near, rc.far - 1.01))
     grid = build_occupancy_grid(
-        make_sigma_fn(params, net), bbox_min=(-0.4,) * 3, bbox_max=(0.4,) * 3,
+        sigma_fn, bbox_min, bbox_max,
         resolution=96, threshold=1e-2, dilate=2,
     )
     # measured-coverage budget, exactly as the BilevelDriver sets it: the

@@ -91,6 +91,50 @@ def build_occupancy_grid(sigma_fn: Callable, bbox_min, bbox_max,
     return OccupancyGrid(occ, bbox_min, bbox_max)
 
 
+def derive_scene_bbox(sigma_fn: Callable, half_extent: float,
+                      resolution: int = 64, threshold: float = 1e-2,
+                      margin_voxels: int = 2, chunk: int = 131072):
+    """Derive the occupancy bbox FROM the density field instead of assuming
+    a fixed cube (VERDICT r2 #3: a hard-coded (-0.4,0.4)^3 silently culls
+    any object outside it — different dataset scale, off-center scenes).
+
+    Probes sigma on a coarse lattice over the generous cube
+    [-half_extent, half_extent]^3 — callers derive half_extent from the
+    camera geometry (every sample point of a look-at-origin rig at radius r
+    with depths in [near, far] lies within max(r - near, far - r) of the
+    origin) — and returns the AABB of voxels with sigma > threshold,
+    widened by ``margin_voxels``. Falls back to the full cube when nothing
+    exceeds the threshold (degenerate scene: cull nothing meaningful).
+
+    Returns (bbox_min [3], bbox_max [3]) float32 jnp arrays.
+    """
+    he = float(half_extent)
+    r = resolution
+    ax = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r * (2 * he) - he
+    pts = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    flat = pts.reshape(-1, 3)
+    n_total = flat.shape[0]
+    n_chunks = -(-n_total // chunk)
+    pad = n_chunks * chunk - n_total
+    flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)], 0)
+    sig = jax.lax.map(sigma_fn, flat.reshape(n_chunks, chunk, 3))
+    occ = sig.reshape(-1)[:n_total].reshape(r, r, r) > threshold
+
+    vox = 2 * he / r
+    any_occ = bool(jnp.any(occ))
+    if not any_occ:
+        full = jnp.asarray([-he] * 3, jnp.float32)
+        return full, -full
+    idx = jnp.stack(jnp.meshgrid(jnp.arange(r), jnp.arange(r), jnp.arange(r),
+                                 indexing="ij"), -1)
+    occ_f = occ[..., None]
+    lo = jnp.min(jnp.where(occ_f, idx, r), axis=(0, 1, 2)) - margin_voxels
+    hi = jnp.max(jnp.where(occ_f, idx, -1), axis=(0, 1, 2)) + 1 + margin_voxels
+    bbox_min = -he + jnp.clip(lo, 0, r).astype(jnp.float32) * vox
+    bbox_max = -he + jnp.clip(hi, 0, r).astype(jnp.float32) * vox
+    return bbox_min, bbox_max
+
+
 def grid_lookup(grid: OccupancyGrid, pts) -> jnp.ndarray:
     """Occupancy at [..., 3] positions; 0 outside the bbox."""
     r = grid.occ.shape[0]
@@ -141,6 +185,67 @@ def ray_z_bounds(grid: OccupancyGrid, rays_o, rays_d, z_vals,
     return near, far
 
 
+def occupied_aabb(grid: OccupancyGrid):
+    """AABB of the OCCUPIED voxels (not the grid's domain): per-axis
+    projections of the occupancy, voxel-aligned. An all-empty grid yields
+    an inverted box (min > max) — the slab test then hits nothing, which
+    is the correct cull for a void scene. Traced-compatible (runs inside
+    jit, ~r^3 boolean reduction — trivial next to one MLP tile)."""
+    r = grid.occ.shape[0]
+    vox = (grid.bbox_max - grid.bbox_min) / r
+    occ_any = grid.occ > 0
+    idx = jnp.arange(r)
+    los, his = [], []
+    for axis in range(3):
+        proj = jnp.any(occ_any, axis=tuple(i for i in range(3) if i != axis))
+        los.append(jnp.min(jnp.where(proj, idx, r)))
+        his.append(jnp.max(jnp.where(proj, idx, -1)) + 1)
+    lo = jnp.stack(los).astype(jnp.float32)
+    hi = jnp.stack(his).astype(jnp.float32)
+    return grid.bbox_min + lo * vox, grid.bbox_min + hi * vox
+
+
+def ray_aabb_bounds(grid: OccupancyGrid, rays_o, rays_d,
+                    near: float, far: float, z_margin: float = 0.0):
+    """Closed-form slab test of each ray against the grid's bbox:
+    (hit [N] bool, t_near [N], t_far [N]).
+
+    This is the ZERO-GATHER cull scorer (rc.cull_mode="aabb", the default):
+    the per-sample voxel probe costs ~715 ms per pass at 1.28M rays x 64
+    samples on v5e (measured round 3 — 82M random gathers), and the culled
+    path needs two passes; the slab test is a handful of VPU ops per ray.
+    Conservative by construction: every occupied voxel lies inside the
+    bbox, so any ray that hits density intersects the box. With a bbox
+    DERIVED from the density field (derive_scene_bbox) the two scorers
+    select nearly the same rays for compact objects; the voxel prober
+    (cull_mode="grid") remains for concave scenes where per-voxel z
+    intervals are genuinely tighter.
+
+    Misses keep (near, far) — harmless (they composite to nothing) and
+    shape-stable. ``z_margin`` widens the interval (stratified-jitter
+    displacement; the bbox's own margins cover the transverse direction).
+
+    Tests against the OCCUPIED voxels' AABB (occupied_aabb), not the
+    grid's domain — a grid built over a generous probe cube would
+    otherwise mark every frustum ray a hit.
+    """
+    bmin, bmax = occupied_aabb(grid)
+    eps = 1e-12
+    d = jnp.where(jnp.abs(rays_d) < eps,
+                  jnp.where(rays_d < 0, -eps, eps), rays_d)
+    inv = 1.0 / d
+    t0 = (bmin - rays_o) * inv
+    t1 = (bmax - rays_o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= tmin) & (tmax > near) & (tmin < far)
+    t_near = jnp.clip(tmin - z_margin, near, far)
+    t_far = jnp.clip(tmax + z_margin, near, far)
+    t_near = jnp.where(hit, t_near, near)
+    t_far = jnp.where(hit, t_far, far)
+    return hit, t_near, t_far
+
+
 def calibrate_hit_budget(grid: OccupancyGrid, poses, H: int, W: int, K,
                          rc, margin: float = 1.25,
                          quantum: float = 0.05) -> float:
@@ -152,18 +257,23 @@ def calibrate_hit_budget(grid: OccupancyGrid, poses, H: int, W: int, K,
     ~0.5 hit fraction cost 22dB). Host-side, runs once per scene; the
     result is rounded UP to ``quantum`` so nearby calibrations share one
     compiled render. ``margin`` covers pose-distribution drift between the
-    calibration sample and later epochs.
+    calibration sample and later epochs. Scores with the SAME scorer the
+    render will use (rc.cull_mode).
     """
     from neuralsim_tpu.ops.rays import get_rays
     from neuralsim_tpu.ops.volume import stratified_z_vals
 
     poses = jnp.asarray(poses)
+    mode = getattr(rc, "cull_mode", "aabb")
 
     @jax.jit
     def frac_one(c2w):
         ro, rd = get_rays(H, W, K, c2w[:3, :4])
         ro = ro.reshape(-1, 3)
         rd = rd.reshape(-1, 3)
+        if mode == "aabb":
+            hit, _, _ = ray_aabb_bounds(grid, ro, rd, rc.near, rc.far)
+            return jnp.mean(hit.astype(jnp.float32))
         z = stratified_z_vals(None, ro.shape[0], rc.n_samples, rc.near,
                               rc.far, perturb=False, lindisp=rc.lindisp)
         scores = ray_hit_scores(grid, ro, rd, z)

@@ -192,18 +192,30 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
     from neuralsim_tpu.ops.occupancy import (
         empty_ray_outputs,
         grid_lookup,
+        ray_aabb_bounds,
         ray_z_bounds,
     )
     from neuralsim_tpu.ops.volume import stratified_z_vals
 
     n = rays_o.shape[0]
-    # deterministic probe depths; stratified-jitter displacement is covered
-    # by the grid's dilation
-    z_probe = stratified_z_vals(None, n, rc.n_samples, rc.near, rc.far,
-                                perturb=False, lindisp=rc.lindisp)
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_probe[..., :, None]
-    occ = grid_lookup(grid, pts)                       # [N, S]
-    scores = jnp.sum(occ, axis=-1)
+    near_all = far_all = None
+    if rc.cull_mode == "aabb":
+        # zero-gather scorer: closed-form slab test against the (derived)
+        # occupied bbox — see ops.occupancy.ray_aabb_bounds. z intervals
+        # widened by 2 probe steps like the grid prober's margin_samples.
+        z_margin = 2.0 * (rc.far - rc.near) / rc.n_samples
+        hit, near_all, far_all = ray_aabb_bounds(
+            grid, rays_o, rays_d, rc.near, rc.far, z_margin=z_margin)
+        scores = hit.astype(jnp.float32)
+    else:
+        # deterministic per-sample voxel probing; stratified-jitter
+        # displacement is covered by the grid's dilation
+        z_probe = stratified_z_vals(None, n, rc.n_samples, rc.near, rc.far,
+                                    perturb=False, lindisp=rc.lindisp)
+        pts = (rays_o[..., None, :]
+               + rays_d[..., None, :] * z_probe[..., :, None])
+        occ = grid_lookup(grid, pts)                   # [N, S]
+        scores = jnp.sum(occ, axis=-1)
     k_sel = int(round(n * rc.hit_budget))
     k_sel = max(8, min(n, -(-k_sel // 8) * 8))
     sel = jax.lax.stop_gradient(jax.lax.top_k(scores, k_sel)[1])
@@ -211,7 +223,8 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
     near = far = None
     rc_sel = rc
     if rc.tighten_bounds:
-        near_all, far_all = ray_z_bounds(grid, rays_o, rays_d, z_probe)
+        if rc.cull_mode != "aabb":
+            near_all, far_all = ray_z_bounds(grid, rays_o, rays_d, z_probe)
         near, far = near_all[sel], far_all[sel]
         if rc.n_samples_culled:
             rc_sel = dataclasses.replace(rc, n_samples=rc.n_samples_culled)

@@ -151,6 +151,7 @@ def fitted_scene():
     return models, grid
 
 
+@pytest.mark.slow
 def test_culled_render_lossless(fitted_scene):
     """Production mode guard: the occupancy-culled render matches the exact
     render at high PSNR, and routed rays are (near-)bit-identical."""
@@ -184,6 +185,7 @@ def test_culled_render_lossless(fitted_scene):
     assert int(culled["occ_hit_count"]) > 0
 
 
+@pytest.mark.slow
 def test_culled_render_jit_and_grad(fitted_scene):
     """The culled render jits and is differentiable w.r.t. the pose chain
     (gradients flow through routed rays only)."""
@@ -234,6 +236,7 @@ def test_calibrate_hit_budget_covers_hits(sphere_grid):
     assert abs(budget / 0.05 - round(budget / 0.05)) < 1e-9
 
 
+@pytest.mark.slow
 def test_tightened_render_quality(fitted_scene):
     """Production tightened mode (cull + per-ray z-interval + reduced coarse
     count) stays within the PSNR guard of the exact render, and the
@@ -272,3 +275,119 @@ def test_tightened_render_quality(fitted_scene):
     # with 16 probes + 2-sample margins the interval is coarse but must
     # still be clearly tighter than the full range
     assert float(far[c]) - float(near[c]) < 0.6 * (RC.far - RC.near)
+
+
+@pytest.mark.slow
+def test_derived_bbox_covers_offcenter_object():
+    """VERDICT r2 #3 'done' condition: an object at radius 0.8 — far
+    outside the legacy hard-coded (-0.4,0.4)^3 cube — renders identically
+    with and without culling when the bbox is DERIVED from the density
+    probe. Uses the bench's exact-box full-size MLP shifted off-center."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import box_scene_params
+    from neuralsim_tpu.models.nerf import make_sigma_fn
+    from neuralsim_tpu.ops.occupancy import (
+        build_occupancy_grid,
+        derive_scene_bbox,
+    )
+    from neuralsim_tpu.ops.render import render_poses
+    from neuralsim_tpu.sampler.poses import pose_spherical
+
+    net = NeRFNetConfig()
+    rc = RenderConfig(n_samples=32, n_importance=32, ray_chunk=8192,
+                      near=0.31, far=1.93).test_mode()
+    center = (0.8, 0.0, 0.0)
+    params = box_scene_params(net, jax.random.PRNGKey(0), half=0.08,
+                              center=center)
+    sigma_fn = make_sigma_fn(params, net)
+
+    half_extent = max(1.01 - rc.near, rc.far - 1.01)
+    bmin, bmax = np.asarray(derive_scene_bbox(sigma_fn, half_extent))
+    # the derived box brackets the object...
+    assert (bmin <= np.asarray(center) - 0.08 + 1e-3).all()
+    assert (bmax >= np.asarray(center) + 0.08 - 1e-3).all()
+    # ...and is far tighter than the generous probe cube
+    assert (bmax - bmin).max() < half_extent
+
+    grid = build_occupancy_grid(sigma_fn, bmin, bmax)
+    models = {"coarse": params, "fine": params}
+    H = W = 48
+    K = np.array([[60.0, 0, 24.0], [0, 60.0, 24.0], [0, 0, 1.0]], np.float32)
+    poses = pose_spherical(jnp.array([0.0, 90.0]), jnp.array([-10.0, -30.0]),
+                           1.01)
+
+    exact = np.asarray(render_poses(models, poses, H, W, K, None, net,
+                                    rc)["rgb_map"])
+    rc_cull = dataclasses.replace(rc, hit_budget=0.3)
+    culled = np.asarray(render_poses(models, poses, H, W, K, None, net,
+                                     rc_cull, grid=grid)["rgb_map"])
+    mse = float(np.mean((exact - culled) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"off-center object culled away: {psnr:.1f} dB"
+
+
+def test_derived_bbox_empty_scene_falls_back():
+    from neuralsim_tpu.ops.occupancy import derive_scene_bbox
+
+    bmin, bmax = derive_scene_bbox(lambda p: jnp.zeros(p.shape[:-1]), 0.9)
+    np.testing.assert_allclose(np.asarray(bmin), [-0.9] * 3)
+    np.testing.assert_allclose(np.asarray(bmax), [0.9] * 3)
+
+
+def test_aabb_bounds_conservative_and_tight(sphere_grid):
+    """Slab-test culling (cull_mode='aabb'): never misses a ray the voxel
+    prober would hit, and its z interval contains the voxel interval."""
+    from neuralsim_tpu.ops.occupancy import (
+        ray_aabb_bounds,
+        ray_hit_scores,
+        ray_z_bounds,
+    )
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+
+    grid = sphere_grid
+    rng = np.random.RandomState(0)
+    n = 512
+    ro = jnp.asarray(rng.randn(n, 3) * 0.05 + [0, 0, 1.2], jnp.float32)
+    rd = jnp.asarray(rng.randn(n, 3) * 0.25 + [0, 0, -1.0], jnp.float32)
+    near, far = 0.5, 2.0
+    z = stratified_z_vals(None, n, 64, near, far, perturb=False)
+
+    hit_aabb, tn, tf = ray_aabb_bounds(grid, ro, rd, near, far)
+    scores = ray_hit_scores(grid, ro, rd, z)
+    gn, gf = ray_z_bounds(grid, ro, rd, z)
+
+    grid_hit = np.asarray(scores) > 0
+    # conservative: every voxel-prober hit is an aabb hit
+    assert (np.asarray(hit_aabb) | ~grid_hit).all()
+    # the slab interval contains the voxel interval (up to one probe step —
+    # ray_z_bounds snaps to probe depths, widened by margin_samples)
+    step = (far - near) / 64
+    m = grid_hit
+    assert (np.asarray(tn)[m] <= np.asarray(gn)[m] + 3 * step).all()
+    assert (np.asarray(tf)[m] >= np.asarray(gf)[m] - 3 * step).all()
+
+
+def test_aabb_culled_render_matches_grid_mode(fitted_scene):
+    """Both cull scorers produce the same high-fidelity culled render
+    (with and without z tightening)."""
+    from neuralsim_tpu.ops.render import render_image
+
+    models, grid = fitted_scene
+    H = W = 32
+    K = np.array([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1.0]], np.float32)
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 1.2],
+                     [0, 0, 0, 1.0]])
+    exact = np.asarray(render_image(models, c2w, H, W, K, None, NET,
+                                    RC)["rgb_map"])
+    for tighten in (False, True):
+        for mode in ("aabb", "grid"):
+            rc_c = dataclasses.replace(RC, hit_budget=0.6, cull_mode=mode,
+                                       tighten_bounds=tighten,
+                                       n_samples_culled=8)
+            out = np.asarray(render_image(models, c2w, H, W, K, None, NET,
+                                          rc_c, grid=grid)["rgb_map"])
+            mse = float(np.mean((exact - out) ** 2))
+            psnr = -10.0 * np.log10(max(mse, 1e-12))
+            assert psnr > 40.0, f"{mode} tighten={tighten}: {psnr:.1f} dB"
