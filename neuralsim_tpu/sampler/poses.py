@@ -128,7 +128,14 @@ def poses_from_noise(probs, noise: PoseNoise, sc: SamplerConfig):
     uniform-within-bin reparameterization; azimuth passed to pose_spherical
     shifted by -180 (reference convention, load_LINEMOD_noscale.py:244).
     """
-    logits = jnp.log(probs)
+    # clamp before the log: a saturated psi underflows losing bins to
+    # probs == 0 in f32, and log(0) = -inf makes the WHOLE psi gradient NaN
+    # through the gumbel softmax (caught by the round-3 hardware drive:
+    # one aggressive update saturated psi and every later epoch's grad was
+    # NaN). The clamp is value-identical for probs >= 1e-30 and gives the
+    # underflowed bins a finite logit (-69) whose soft-sample weight is
+    # still exactly 0 in f32.
+    logits = jnp.log(jnp.maximum(probs, 1e-30))
     centers = bin_centers(sc)
     phi_soft = gumbel_softmax_expectation(
         logits[None, :], centers, noise.gumbel, sc.gumbel_temperature

@@ -172,3 +172,30 @@ def test_gaussian_psi_reparam_gradients():
         e[idx] = eps
         fd = (f(psi + e) - f(psi - e)) / (2 * eps)
         np.testing.assert_allclose(g[idx], float(fd), rtol=5e-2, atol=5e-4)
+
+
+def test_saturated_psi_keeps_finite_gradient():
+    """Regression (round-3 hardware drive): a saturated psi underflows
+    some probs to exactly 0 in f32; log(0) = -inf used to poison the whole
+    dL/dpsi with NaN through the gumbel softmax. The clamped logits keep
+    the gradient finite (and zero for the dead bins)."""
+    import jax
+
+    from neuralsim_tpu.config import SamplerConfig
+    from neuralsim_tpu.sampler.poses import (
+        draw_pose_noise,
+        poses_from_noise,
+        psi_to_probs,
+    )
+
+    sc = SamplerConfig()
+    psi = jnp.zeros(8).at[4].set(26.0).at[7].set(-26.0)
+    assert float(psi_to_probs(psi, sc).min()) == 0.0  # genuinely saturated
+    noise = draw_pose_noise(jax.random.PRNGKey(0), sc, num_k=3)
+
+    def loss(p):
+        poses = poses_from_noise(psi_to_probs(p, sc), noise, sc)
+        return jnp.sum(poses[:, :3, 3] ** 2)
+
+    g = np.asarray(jax.grad(loss)(psi))
+    assert np.isfinite(g).all(), g
