@@ -38,6 +38,11 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", "tests must run on the host CPU"
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy suite (whole-pipeline jits); deselect with "
+        "-m 'not slow' for the fast (<5 min) feedback loop",
+    )
 
 
 @pytest.fixture

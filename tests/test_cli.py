@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 
 def _write_reference_layout(tmp_path, rng):
     """Minimal reference-shaped experiment dir: nerfdata info json,

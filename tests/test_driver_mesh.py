@@ -25,6 +25,8 @@ from neuralsim_tpu.detector.trainer import init_detector
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
 from neuralsim_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 
 def _cfg():
     # images_per_batch=8 so the inner-train batch shards 1 image/device on

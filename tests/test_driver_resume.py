@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 
 def test_run_with_checkpoint_resume(tmp_path):
     from tests.test_bilevel_e2e import tiny_cfg

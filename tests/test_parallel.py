@@ -13,6 +13,8 @@ from neuralsim_tpu.ops.render import render_ray_batch
 from neuralsim_tpu.parallel.mesh import make_mesh, replicate, shard_rays
 from neuralsim_tpu.train_nerf import init_train_state, train_step
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 NET = NeRFNetConfig(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
                     skips=(0,), multires=4, multires_views=2)
 RC = RenderConfig(n_samples=8, n_importance=8, ray_chunk=128, near=0.5,

@@ -14,6 +14,8 @@ from unittest import mock
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 REF = "/root/reference/optimization"
 
 

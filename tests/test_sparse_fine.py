@@ -6,10 +6,13 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
 from neuralsim_tpu.ops.render import render_rays
+
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
 
 NET = NeRFNetConfig(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
                     skips=(0,), multires=4, multires_views=2)

@@ -13,6 +13,8 @@ import pytest
 
 from neuralsim_tpu.train_cli import main
 
+pytestmark = pytest.mark.slow  # whole-pipeline compiles dominate
+
 
 @pytest.fixture()
 def tiny_scene(tmp_path):
