@@ -23,8 +23,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# persistent compile cache: repeat suite runs skip XLA compiles
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# persistent compile cache: repeat suite runs skip XLA compiles.
+# Partitioned BY HOST CPU FINGERPRINT: XLA:CPU caches AOT machine code, and
+# loading an executable compiled on a host with different CPU features
+# (this cache directory outlives rounds and machines) aborts the process
+# mid-suite ("Fatal Python error: Aborted" via cpu_aot_loader SIGILL).
+def _host_tag() -> str:
+    import hashlib
+    import platform
+    import re
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            m = re.search(r"^flags\s*:\s*(.*)$", f.read(), re.M)
+        raw = m.group(1) if m else platform.processor()
+    except OSError:
+        raw = platform.processor() or platform.machine()
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                          f"cpu-{_host_tag()}")
 os.makedirs(_cache_dir, exist_ok=True)
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
