@@ -90,6 +90,18 @@ class RenderConfig:
     # (T=3072 vs 4096). Correct (112dB vs the split path) but opt-in
     # until the schedule wins; gated to raw_noise_std == 0.
     fuse_compositing: bool = False
+    # with use_pallas: march through the transposed (feature-major) fused
+    # kernel — point generation, PE and the MLP run on channel planes with
+    # the point dim in lanes, emitting channel-separated sigma [N,S] /
+    # rgb [3,N,S] raw outputs for the XLA compositing pass. Avoids the
+    # lane-padded [T,3] points/dirs and [T,4] raw HBM intermediates of the
+    # point-major kernel (~40x padding at 4/128 lanes). MEASURED (v5e
+    # round 3, interleaved in-program A/B at 400^2, 120dB vs the
+    # point-major path): exact 224k->414k rays/s, production (cull +
+    # tighten) 478k->836k. Compositing stays in XLA so it overlaps the
+    # next tile's matmuls (the failure mode of fuse_compositing).
+    # fuse_compositing, when set, takes precedence.
+    fuse_pointgen: bool = True
     # positional-encoding formulation: projection (fast forward path) vs
     # explicit sin/cos (differentiation-safe; see ops.encoding docstring)
     pe_projection: bool = True

@@ -774,6 +774,274 @@ def fused_render_tile(params: Dict, rays_o, rays_d, viewdirs, z_vals,
     return (rgb_map[:n], disp[:n, 0], acc[:n, 0], w[:n], depth_map[:n, 0])
 
 
+# --------------------------------------------------------------------- #
+# Transposed march kernel: channel-plane I/O, feature-major MLP
+# --------------------------------------------------------------------- #
+#
+# Why (round-3 bisect, scripts/probe_render_bisect.py): feeding the widepe
+# kernel costs ~30% of exact render time in HBM traffic that isn't the MLP.
+# XLA materializes the [T,3] points/dirs operands and the [T,4] raw output
+# in the TPU's (8,128)-tiled layout, whose 3/4-lane minor dim pads to 128
+# — a ~40x blowup (4.3 GB per 8.4M-point chunk, written by XLA and re-read
+# by the kernel / the compositing reshape).
+#
+# Layout constraint that shapes this design: Mosaic supports the
+# [T,1]->[R,S] vector shape cast (sublanes->lanes; round-2 probe) but NOT
+# the reverse [R,S]->[T,1] (lanes->sublanes: `tpu.reshape vector<64x64> ->
+# vector<4096x1>` fails infer-vector-layout, round-3 probe). A point-major
+# kernel over in-kernel-generated points would need exactly that reverse
+# cast. So this kernel runs the whole MLP TRANSPOSED — activations are
+# [features, t] with the point dim in LANES:
+#
+#   - inputs are six channel planes px/py/pz/vx/vy/vz shaped [n_tiles, t]
+#     (XLA fuses point-gen o_c + d_c*z into packed 4B/sample writes; no
+#     [T,3] tensor ever exists), delivered as [1, t] rows — no cast;
+#   - wide-PE becomes three VPU FMAs: X[p,t] = sum_c onehot_c[p,1]*pc[1,t]
+#     with freq/phase/mask as [p,1] columns (supported broadcasts only);
+#   - every matmul is kT [out, in] @ h [in, t] — 2-D dots with the WEIGHTS
+#     as the stationary LHS operand;
+#   - outputs are four [n_tiles, t] planes (sigma, r, g, b) written as
+#     [1, t] rows, reshaped to [N,S] by XLA for free (row-major relabel).
+#
+# Per-sample HBM traffic: 24B in + 16B out vs ~300-500B for the point-major
+# path. Tiles are sample-count agnostic (t need not divide the per-ray S),
+# so the fine pass gets full-size tiles too. Compositing stays in XLA
+# (unlike fused_render_tile) so its VPU work overlaps the next tile's
+# matmuls.
+
+
+def _march_channels_kernel(in_ref,
+                           cx0, cx1, cx2, freqx_ref, phasex_ref, maskx_ref,
+                           cd0, cd1, cd2, freqd_ref, phased_ref, maskd_ref,
+                           *refs, depth: int, skips, p_x: int, p_d: int,
+                           compute_dtype, fast_epilogue: bool):
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    idx = 0
+
+    def nxt():
+        nonlocal idx
+        k, b = wrefs[idx], wrefs[idx + 1]
+        idx += 2
+        return k, b
+
+    def epilogue(acc, b):
+        # bias is a [out, 1] column broadcasting over the t lanes
+        if fast_epilogue:
+            return jnp.maximum(acc.astype(compute_dtype)
+                               + b[:].astype(compute_dtype), 0.0)
+        return jnp.maximum(acc + b[:].astype(jnp.float32),
+                           0.0).astype(compute_dtype)
+
+    cd = compute_dtype
+    chans = in_ref[0]                                       # [6, t] f32
+    # X[p, t] = pc_{coord(p)}[t]: the one-hot selector distributes over
+    # coordinates, so the PE input assembles from three FMAs
+    X = (cx0[:] * chans[0:1, :] + cx1[:] * chans[1:2, :]
+         + cx2[:] * chans[2:3, :])                          # [p_x, t] f32
+    maskx = maskx_ref[:]
+    pe_x = (maskx * X + (1.0 - maskx)
+            * jnp.sin(X * freqx_ref[:] + phasex_ref[:])).astype(cd)
+    Xd = (cd0[:] * chans[3:4, :] + cd1[:] * chans[4:5, :]
+          + cd2[:] * chans[5:6, :])                         # [p_d, t]
+    maskd = maskd_ref[:]
+    pe_d = (maskd * Xd + (1.0 - maskd)
+            * jnp.sin(Xd * freqd_ref[:] + phased_ref[:])).astype(cd)
+
+    h = None
+    for i in range(depth):
+        k, b = nxt()                      # k [W, in] (transposed), b [W, 1]
+        if i == 0:
+            acc = jnp.dot(k[:].astype(cd), pe_x,
+                          preferred_element_type=jnp.float32)
+        elif (i - 1) in skips:
+            acc = jnp.dot(k[:, :p_x].astype(cd), pe_x,
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(k[:, p_x:].astype(cd), h,
+                           preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(k[:].astype(cd), h,
+                          preferred_element_type=jnp.float32)
+        h = epilogue(acc, b)
+
+    fk, fb = nxt()
+    ak, ab = nxt()
+    vk, vb = nxt()
+    rk, rb = nxt()
+
+    sigma = jnp.dot(ak[:].astype(cd), h, preferred_element_type=jnp.float32)
+    sigma += ab[:].astype(jnp.float32)                      # [1, t]
+    feature = jnp.dot(fk[:].astype(cd), h, preferred_element_type=jnp.float32)
+    feature = (feature + fb[:].astype(jnp.float32)).astype(cd)
+
+    width = feature.shape[0]
+    hv = jnp.dot(vk[:, :width].astype(cd), feature,
+                 preferred_element_type=jnp.float32)
+    hv += jnp.dot(vk[:, width:].astype(cd), pe_d,
+                  preferred_element_type=jnp.float32)
+    hv = epilogue(hv, vb)
+
+    rgb = jnp.dot(rk[:].astype(cd), hv, preferred_element_type=jnp.float32)
+    rgb += rb[:].astype(jnp.float32)                        # [3, t]
+
+    out_ref[0] = jnp.concatenate([sigma, rgb], axis=0)      # [4, t]
+
+
+@functools.lru_cache(maxsize=16)
+def _wide_pe_consts_t(d: int, n_freqs: int, pad_to: int):
+    """Transposed wide-PE constants for the feature-major kernel: three
+    per-coordinate one-hot columns [P,1] (X = sum_c onehot_c * pc) plus
+    freq/phase/mask as [P,1] columns."""
+    import numpy as np
+
+    sel, freq, phase, mask = _wide_pe_consts(d, n_freqs, pad_to)
+    cols = [np.ascontiguousarray(sel.T[:, c:c + 1]) for c in range(d)]
+    return (*cols, np.ascontiguousarray(freq.T),
+            np.ascontiguousarray(phase.T), np.ascontiguousarray(mask.T))
+
+
+def _wide_param_list_t(params: Dict, depth: int, skips, in_ch: int,
+                       p_x: int, p_d: int):
+    """Transposed (weight-stationary) layout of _wide_param_list: kernels
+    become [out, in], biases [out, 1]."""
+    return [w.T for w in _wide_param_list(params, depth, skips,
+                                          in_ch, p_x, p_d)]
+
+
+def _fused_march_channels(params: Dict, rays_o, rays_d, viewdirs, z_vals,
+                          net: NeRFNetConfig, compute_dtype=jnp.bfloat16,
+                          target_tile: int = 4096,
+                          fast_epilogue: bool = False,
+                          interpret: bool = False):
+    """Transposed fused march: channel planes in, channel-separated raw out.
+
+    Returns (sigma [N,S] f32 raw density, rgb [3,N,S] f32 logits) for
+    ops.volume.raw2outputs_channels.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s = z_vals.shape
+    depth_l = sum(1 for k in params
+                  if k.startswith("pts_") and k.endswith("kernel"))
+    t = _round_up(max(128, target_tile), 128)
+    total = n * s
+    n_tiles = -(-total // t)
+    total_pad = n_tiles * t
+
+    def plane(x):
+        # [N, S] -> [n_tiles, t]: row-major relabel + zero tail, fused by
+        # XLA into a packed 4B/sample write
+        flat = x.reshape(-1)
+        if total_pad != total:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((total_pad - total,), flat.dtype)])
+        return flat.reshape(n_tiles, t)
+
+    planes = [plane(rays_o[:, c:c + 1] + rays_d[:, c:c + 1] * z_vals)
+              for c in range(3)]
+    planes += [plane(jnp.broadcast_to(viewdirs[:, c:c + 1], (n, s)))
+               for c in range(3)]
+    chans = jnp.stack(planes, axis=1)                 # [n_tiles, 6, t]
+
+    in_ch = 3 * (1 + 2 * net.multires)
+    p_x = _round_up(in_ch, 64)
+    p_d = _round_up(3 * (1 + 2 * net.multires_views), 32)
+    pe_consts = [jnp.asarray(c)
+                 for c in _wide_pe_consts_t(3, net.multires, p_x)
+                 ] + [jnp.asarray(c)
+                      for c in _wide_pe_consts_t(3, net.multires_views, p_d)]
+    weights = [w.astype(compute_dtype)
+               for w in _wide_param_list_t(params, depth_l, tuple(net.skips),
+                                           in_ch, p_x, p_d)]
+
+    grid = (n_tiles,)
+    const_specs = [
+        pl.BlockSpec(c.shape, functools.partial(_zero_index, c.ndim),
+                     memory_space=pltpu.VMEM)
+        for c in pe_consts
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, functools.partial(_zero_index, w.ndim),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    kernel = functools.partial(
+        _march_channels_kernel, depth=depth_l, skips=tuple(net.skips),
+        p_x=p_x, p_d=p_d, compute_dtype=compute_dtype,
+        fast_epilogue=fast_epilogue,
+    )
+    in_spec = pl.BlockSpec((1, 6, t), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 4, t), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    raw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] + const_specs + w_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, t), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(chans, *pe_consts, *weights)
+
+    def unplane(x):                          # [n_tiles, t] -> [N, S]
+        return x.reshape(-1)[:total].reshape(n, s)
+
+    sigma = unplane(raw[:, 0, :])
+    rgb3 = jnp.stack([unplane(raw[:, 1 + c, :]) for c in range(3)])
+    return sigma, rgb3
+
+
+def _march_channels_ref(params, rays_o, rays_d, viewdirs, z_vals,
+                        net: NeRFNetConfig):
+    """jnp reference of the march kernel (backward recompute path)."""
+    from neuralsim_tpu.models.nerf import nerf_apply
+    from neuralsim_tpu.ops.encoding import positional_encoding
+
+    n, s = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3))
+    raw = nerf_apply(
+        params,
+        positional_encoding(pts.reshape(-1, 3), net.multires),
+        positional_encoding(dirs.reshape(-1, 3), net.multires_views),
+        net, compute_dtype=jnp.float32,
+    ).reshape(n, s, 4)
+    return raw[..., 3], jnp.moveaxis(raw[..., :3], -1, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_nerf_march(params, rays_o, rays_d, viewdirs, z_vals,
+                     net: NeRFNetConfig, compute_dtype=jnp.bfloat16,
+                     target_tile: int = 4096):
+    """Ray-major march (pointgen + PE + MLP in VMEM), channel raw outputs.
+    Backward recomputes via the jnp reference path."""
+    return _fused_march_channels(params, rays_o, rays_d, viewdirs, z_vals,
+                                 net, compute_dtype, target_tile)
+
+
+def _march_fwd(params, rays_o, rays_d, viewdirs, z_vals, net,
+               compute_dtype, target_tile):
+    out = _fused_march_channels(params, rays_o, rays_d, viewdirs, z_vals,
+                                net, compute_dtype, target_tile)
+    return out, (params, rays_o, rays_d, viewdirs, z_vals)
+
+
+def _march_bwd(net, compute_dtype, target_tile, res, g):
+    params, rays_o, rays_d, viewdirs, z_vals = res
+    _, vjp = jax.vjp(
+        lambda p, o, d, v, z: _march_channels_ref(p, o, d, v, z, net),
+        params, rays_o, rays_d, viewdirs, z_vals,
+    )
+    return vjp(g)
+
+
+fused_nerf_march.defvjp(_march_fwd, _march_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp_widepe(params, pts, dirs, net: NeRFNetConfig,
                           compute_dtype=jnp.bfloat16, tile: int = 4096):

@@ -106,22 +106,43 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
 
 def _march(params, rays_o, rays_d, viewdirs, z_vals, k_noise,
            net: NeRFNetConfig, rc: RenderConfig, compute_dtype):
-    """One network march + compositing: the fused render-tile Pallas
-    kernel when available (PE, activations, raw rgb/sigma and the
-    compositing intermediates all stay in VMEM), else query_points +
-    raw2outputs. Returns the raw2outputs tuple."""
-    if rc.use_pallas and rc.fuse_compositing and rc.raw_noise_std == 0.0 \
-            and net.use_viewdirs and net.i_embed != -1:
+    """One network march + compositing. Fastest-available path first:
+
+    1. ray-major march kernel (rc.fuse_pointgen, default): point-gen, PE
+       and the MLP run in VMEM on the ray bundle itself; channel-separated
+       raw outputs feed XLA compositing (raw2outputs_channels). No
+       lane-padded [T,3]/[T,4] HBM intermediates — measured round 3, these
+       cost ~30% of exact render time around the point-major kernel.
+    2. fused render-tile kernel (rc.fuse_compositing, opt-in): compositing
+       also in-kernel — measured slower (serializes VPU against MXU).
+    3. query_points + raw2outputs: point-major Pallas MLP when available,
+       else the pure-jnp path (CPU, gradient strips).
+
+    Returns the raw2outputs tuple."""
+    if rc.use_pallas and net.use_viewdirs and net.i_embed != -1:
         from neuralsim_tpu.kernels.raymarch import (
+            fused_nerf_march,
             fused_render_tile,
             pallas_available,
         )
 
         if pallas_available():
-            return fused_render_tile(
-                params, rays_o, rays_d, viewdirs, z_vals, net,
-                white_bkgd=rc.white_bkgd, compute_dtype=compute_dtype,
-            )
+            if rc.fuse_compositing and rc.raw_noise_std == 0.0:
+                return fused_render_tile(
+                    params, rays_o, rays_d, viewdirs, z_vals, net,
+                    white_bkgd=rc.white_bkgd, compute_dtype=compute_dtype,
+                )
+            if rc.fuse_pointgen:
+                from neuralsim_tpu.ops.volume import raw2outputs_channels
+
+                sigma, rgb3 = fused_nerf_march(
+                    params, rays_o, rays_d, viewdirs, z_vals, net,
+                    compute_dtype,
+                )
+                return raw2outputs_channels(
+                    sigma, rgb3, z_vals, rays_d, key=k_noise,
+                    raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+                )
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw = query_points(params, pts, viewdirs, net, compute_dtype,

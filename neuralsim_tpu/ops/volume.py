@@ -91,6 +91,54 @@ def raw2outputs(raw, z_vals, rays_d, key=None, raw_noise_std: float = 0.0,
     return rgb_map, disp_map, acc_map, weights, depth_map
 
 
+def raw2outputs_channels(sigma, rgb3, z_vals, rays_d, key=None,
+                         raw_noise_std: float = 0.0,
+                         white_bkgd: bool = False):
+    """raw2outputs on channel-separated raw tensors.
+
+    Identical math to :func:`raw2outputs`, but consumes the layout the
+    ray-major march kernel emits (kernels.raymarch.fused_nerf_march):
+    ``sigma [N,S]`` and ``rgb3 [3,N,S]`` logits. Every array here has the
+    sample dim minor — the (8,128)-tiled TPU layout with no lane padding,
+    vs the [N,S,4] raw tensor whose 4-lane minor dim tiles at 3% density.
+
+    Returns rgb_map [N,3], disp_map [N], acc_map [N], weights [N,S],
+    depth_map [N] — the raw2outputs tuple.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    if raw_noise_std > 0.0:
+        if key is None:
+            raise ValueError("raw_noise_std > 0 requires a PRNG key")
+        sigma = sigma + jax.random.normal(key, sigma.shape) * raw_noise_std
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
+        ),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans
+
+    rgb = jax.nn.sigmoid(rgb3)                                # [3, N, S]
+    rgb_map = jnp.stack(
+        [jnp.sum(weights * rgb[c], axis=-1) for c in range(3)], axis=-1
+    )
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-10)
+    )
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    return rgb_map, disp_map, acc_map, weights, depth_map
+
+
 def sample_pdf(key, bins, weights, n_samples: int, det: bool):
     """Inverse-transform sample n_samples depths from the piecewise-constant
     PDF given by ``weights`` over ``bins``.

@@ -173,6 +173,94 @@ def test_widepe_backward_matches_jnp(rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("s", [16, 48, 144])
+def test_march_channels_matches_reference(rng, s):
+    """Ray-major march kernel (in-kernel point-gen + PE + MLP, channel
+    outputs) equals the jnp reference at every sample count the renderer
+    uses (culled coarse 16, fine 144) — including ray padding."""
+    from neuralsim_tpu.kernels.raymarch import (
+        _fused_march_channels,
+        _march_channels_ref,
+    )
+
+    params = init_nerf_params(jax.random.PRNGKey(0), NET)
+    n = 20  # not a multiple of 8 -> exercises ray padding
+    rays_o = jnp.asarray(rng.randn(n, 3).astype(np.float32)) * 0.1
+    rays_d = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    from neuralsim_tpu.ops.volume import stratified_z_vals
+
+    z = stratified_z_vals(None, n, s, 0.5, 2.0, perturb=False)
+    want_sigma, want_rgb = _march_channels_ref(params, rays_o, rays_d, vd,
+                                               z, NET)
+    got_sigma, got_rgb = _fused_march_channels(
+        params, rays_o, rays_d, vd, z, NET, compute_dtype=jnp.float32,
+        target_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_sigma), np.asarray(want_sigma),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_raw2outputs_channels_matches_raw2outputs(rng):
+    """Channel-separated compositing equals raw2outputs on the same raw
+    values (incl. noise and white background)."""
+    from neuralsim_tpu.ops.volume import raw2outputs, raw2outputs_channels
+
+    n, s = 24, 32
+    raw = jnp.asarray(rng.randn(n, s, 4).astype(np.float32))
+    z = jnp.sort(jnp.asarray(rng.rand(n, s).astype(np.float32)), axis=-1)
+    rays_d = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    sigma = raw[..., 3]
+    rgb3 = jnp.moveaxis(raw[..., :3], -1, 0)
+
+    for kwargs in ({}, {"white_bkgd": True},
+                   {"raw_noise_std": 0.7, "key": jax.random.PRNGKey(3)}):
+        want = raw2outputs(raw, z, rays_d, **kwargs)
+        got = raw2outputs_channels(sigma, rgb3, z, rays_d, **kwargs)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_march_vjp_matches_reference(rng):
+    """custom_vjp backward of the march kernel equals autodiff of the jnp
+    reference, incl. ray-origin/direction/z grads (the pose-gradient path)."""
+    from neuralsim_tpu.kernels import raymarch as rm
+
+    net = NeRFNetConfig(netdepth=2, netwidth=16, skips=(0,), multires=2,
+                        multires_views=1)
+    params = init_nerf_params(jax.random.PRNGKey(2), net)
+    n, s = 8, 12
+    rays_o = jnp.asarray(rng.randn(n, 3).astype(np.float32)) * 0.1
+    rays_d = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z = jnp.sort(jnp.asarray(rng.rand(n, s).astype(np.float32)), axis=-1)
+
+    def loss_ref(p, o, d, v, zz):
+        sg, rgb = rm._march_channels_ref(p, o, d, v, zz, net)
+        return jnp.sum(sg ** 2) + jnp.sum(rgb ** 2)
+
+    import functools as ft
+    orig = rm._fused_march_channels
+    rm._fused_march_channels = ft.partial(orig, interpret=True)
+    try:
+        def loss_fused(p, o, d, v, zz):
+            sg, rgb = rm.fused_nerf_march(p, o, d, v, zz, net, jnp.float32,
+                                          64)
+            return jnp.sum(sg ** 2) + jnp.sum(rgb ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(1, 2, 3, 4))(
+            params, rays_o, rays_d, vd, z)
+        g_fused = jax.grad(loss_fused, argnums=(1, 2, 3, 4))(
+            params, rays_o, rays_d, vd, z)
+    finally:
+        rm._fused_march_channels = orig
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_fused_render_tile_matches_reference(rng):
     """Whole-ray fused kernel (PE + MLP + compositing in-kernel) equals
     query_points + raw2outputs exactly in f32 — including the triangular-
