@@ -148,8 +148,16 @@ def main():
     # samples inside the occupied interval — still ~2x the reference's
     # per-unit-length density there); measured 46.7dB vs exact on this
     # scene, with cull-only at 120dB
+    # production sampling: 16 coarse + 64 importance inside each routed
+    # ray's tightened z-interval (the interval is ~1/8 of [near,far], so
+    # per-unit-length density still exceeds the reference's 64+128 over
+    # the full range). Measured ladder on this scene (round 3, v5e):
+    # ic128 836k rays/s 46.3dB / ic96 1.04M 46.2 / ic64 1.36M 46.1 /
+    # ic48 1.65M 46.0 / ic32 2.01M 45.7 — ic64 ships as the headline
+    # (0.2dB under full production, 2x margin over the 40dB guard).
     rc_prod = dataclasses.replace(rc, hit_budget=budget,
-                                  tighten_bounds=True)
+                                  tighten_bounds=True,
+                                  n_importance_culled=64)
     fn_exact = jax.jit(
         lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
     fn_prod = jax.jit(
@@ -187,13 +195,15 @@ def main():
     prod_rps = n_rays / dt_prod
 
     print(json.dumps({
-        "metric": "render_rays_per_sec_per_chip_400sq_64c128f_production",
+        "metric": "render_rays_per_sec_per_chip_400sq_production",
         "value": round(prod_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(prod_rps / NORTH_STAR_RAYS_PER_SEC, 4),
         "exact_rays_per_sec": round(exact_rps, 1),
         "production_psnr_vs_exact_db": round(psnr, 1),
         "hit_budget": rc_prod.hit_budget,
+        "production_sampling": "cull+tighten 16c+64f in-interval "
+                               "(exact comparator 64c+128f full-range)",
     }))
 
 

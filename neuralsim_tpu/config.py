@@ -126,6 +126,12 @@ class RenderConfig:
     # and tests. n_samples_culled=None keeps rc.n_samples.
     tighten_bounds: bool = False
     n_samples_culled: int | None = 16
+    # with tighten_bounds, additionally drop the fine importance count on
+    # routed rays: 64 samples concentrated in a ~1/8-length interval are
+    # still ~4x the reference's per-unit-length fine density. Same
+    # PSNR-guard discipline as n_samples_culled (the guard, not the
+    # constant, is the contract). None keeps rc.n_importance.
+    n_importance_culled: int | None = None
     # cull scorer: "aabb" (default) = closed-form ray/bbox slab test —
     # zero gathers (the per-sample voxel probe costs ~715ms/pass at 1.28M
     # rays on v5e, measured round 3) with per-ray z bounds from the slab

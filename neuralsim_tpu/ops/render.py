@@ -247,8 +247,13 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
         if rc.cull_mode != "aabb":
             near_all, far_all = ray_z_bounds(grid, rays_o, rays_d, z_probe)
         near, far = near_all[sel], far_all[sel]
+        overrides = {}
         if rc.n_samples_culled:
-            rc_sel = dataclasses.replace(rc, n_samples=rc.n_samples_culled)
+            overrides["n_samples"] = rc.n_samples_culled
+        if rc.n_importance_culled and rc.n_importance > 0:
+            overrides["n_importance"] = rc.n_importance_culled
+        if overrides:
+            rc_sel = dataclasses.replace(rc, **overrides)
 
     out_sel = _render_ray_batch_dense(
         models, rays_o[sel], rays_d[sel], key, net, rc_sel,

@@ -262,6 +262,23 @@ def test_tightened_render_quality(fitted_scene):
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, f"tightened render diverges: PSNR {psnr:.1f} dB"
 
+    # reduced importance count on routed rays (n_importance_culled):
+    # halving the fine count on this deliberately sharp-edged sphere
+    # (sigmoid slope 100 — far harsher than any fitted scene) degrades
+    # gracefully, not catastrophically. The >40dB production contract is
+    # enforced where the knob is actually set (bench.py + the driver's
+    # first-epoch guard), scene-by-scene — this asserts the plumbing and
+    # graceful degradation only.
+    rc_ti = dataclasses.replace(rc_t, n_importance_culled=8)
+    tight_i = render_image(models, c2w, H, W, K, None, NET, rc_ti, grid=grid)
+    bi = np.asarray(tight_i["rgb_map"])
+    assert bi.shape == a.shape
+    assert np.isfinite(bi).all()
+    mse_i = float(np.mean((a - bi) ** 2))
+    psnr_i = -10.0 * np.log10(max(mse_i, 1e-12))
+    assert psnr_i > 28.0, \
+        f"reduced-importance render diverges: PSNR {psnr_i:.1f} dB"
+
     # bounds bracket the sphere (radius 0.2 at origin, camera at z=1.2):
     # the central ray's occupied interval must contain [1.0, 1.4] and be
     # much tighter than the full [near, far]
