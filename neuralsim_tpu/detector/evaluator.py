@@ -187,9 +187,9 @@ def coco_map(detections: Sequence[Dict], ground_truth: Sequence[Dict],
                 tp, fp = tp_sum[ti], fp_sum[ti]
                 recall = tp / n_gt[ai]
                 precision = tp / np.maximum(tp + fp, 1e-12)
-                # monotone-decreasing precision envelope
-                for i in range(len(precision) - 2, -1, -1):
-                    precision[i] = max(precision[i], precision[i + 1])
+                # monotone-decreasing precision envelope (running max from
+                # the right — was a python loop, 1M+ steps on real val sets)
+                precision = np.maximum.accumulate(precision[::-1])[::-1]
                 idx = np.searchsorted(recall, RECALL_POINTS, side="left")
                 p_at_r = np.where(
                     idx < len(precision),

@@ -92,6 +92,11 @@ def main(argv=None):
             tighten_bounds=args.production),
         bilevel=dataclasses.replace(base.bilevel, n_epochs=args.epochs,
                                     grad_e_max_images=4),
+        # detector input must fit the renders (pad-only DatasetMapper);
+        # at 800^2 this matches detectron2's min-size-800 default
+        detector=dataclasses.replace(
+            base.detector,
+            image_size=max(base.detector.image_size, hw)),
     )
     if args.det_iters:
         base = dataclasses.replace(
