@@ -15,11 +15,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _upsample_nearest_2x(x):
+def _upsample_nearest_to(x, h_out: int, w_out: int):
+    """Nearest-neighbor upsample to the LATERAL's actual spatial size
+    (torchvision FPN does F.interpolate(size=lateral.shape): with
+    SAME-padded ceil(side/stride) backbone maps, 2x only matches at
+    even sizes — at 100px C4 is 7 while 2*C5 is 8)."""
     n, h, w, c = x.shape
-    return jnp.broadcast_to(
-        x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
-    ).reshape(n, 2 * h, 2 * w, c)
+    if (h_out, w_out) == (2 * h, 2 * w):
+        return jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, 2 * h, 2 * w, c)
+    ri = jnp.minimum((jnp.arange(h_out) * h) // h_out, h - 1)
+    ci = jnp.minimum((jnp.arange(w_out) * w) // w_out, w - 1)
+    return x[:, ri][:, :, ci]
 
 
 class FPN(nn.Module):
@@ -39,8 +47,8 @@ class FPN(nn.Module):
         l4 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="lateral4")(c4)
         l3 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="lateral3")(c3)
 
-        t4 = l4 + _upsample_nearest_2x(l5)
-        t3 = l3 + _upsample_nearest_2x(t4)
+        t4 = l4 + _upsample_nearest_to(l5, l4.shape[1], l4.shape[2])
+        t3 = l3 + _upsample_nearest_to(t4, l3.shape[1], l3.shape[2])
 
         p5 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                      name="output5")(l5)

@@ -41,9 +41,11 @@ def generate_anchors(image_size: int) -> List[jnp.ndarray]:
     (i + 0.5) * stride."""
     levels = []
     for stride, size in zip(STRIDES, SIZES):
-        # strided convs keep at least one cell (ceil semantics) even when the
-        # stride exceeds the image side
-        fs = max(1, image_size // stride)
+        # SAME-padded strided convs produce ceil(side/stride) cells — the
+        # anchor grid must match the head's actual output (floor division
+        # agreed only at power-of-two sizes; at 800^2 it undercounted
+        # P6/P7: 12,6 vs the convs' 13,7)
+        fs = -(-image_size // stride)
         base = []
         for scale in SCALES:
             area = (size * scale) ** 2

@@ -59,6 +59,23 @@ def test_forward_shapes(det):
     assert deltas.shape == (2, total_anchors, 4)
 
 
+def test_anchor_grid_matches_head_at_non_pow2_size():
+    """SAME-padded strided convs produce ceil(side/stride) cells; the
+    anchor grid must agree at sizes where floor != ceil (the 800^2 sweep
+    crashed on P6/P7 undercounting: 12,6 anchors vs the convs' 13,7)."""
+    dc = DetectorConfig(num_classes=2, image_size=100, max_iter=1,
+                        images_per_batch=1, warmup_iters=1)
+    state = init_detector(jax.random.PRNGKey(0), dc)
+    _, apply_fn = make_detector_apply(dc)
+    logits, deltas = apply_fn(state.params, jnp.zeros((1, 100, 100, 3)))
+    total_anchors = sum(a.shape[0] for a in generate_anchors(100))
+    # 100px at strides 8..128 -> ceil sides 13,7,4,2,1
+    assert total_anchors == (13 * 13 + 7 * 7 + 4 * 4 + 2 * 2 + 1) \
+        * NUM_ANCHORS
+    assert logits.shape == (1, total_anchors, dc.num_classes)
+    assert deltas.shape == (1, total_anchors, 4)
+
+
 def test_initial_cls_scores_near_prior(det):
     """Focal-loss bias init: initial foreground probability ~ 0.01."""
     state, apply_fn = det
