@@ -13,9 +13,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA:CPU collectives rendezvous by requiring all 8 shard threads of a
+    # program to run at once; on few-core CI hosts the late shards can take
+    # ~60 s to get pool threads (first-execution warmup), and the default
+    # 20 s warn / +40 s terminate window ABORTS the process
+    # (rendezvous.cc "Expected 8 threads ... only 1 arrived").  Seen in
+    # test_driver_mesh on a 1-core host; give slow hosts 10 minutes.
+    # (The finer-grained xla_cpu_collective_call_{warn_stuck,terminate_
+    # timeout}_seconds debug options exist in the proto but are not
+    # registered for XLA_FLAGS in this jaxlib.)
+    flags = flags + " --xla_cpu_collective_timeout_seconds=600"
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
