@@ -100,10 +100,7 @@ def main():
 
     from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
     from neuralsim_tpu.models.nerf import make_sigma_fn
-    from neuralsim_tpu.ops.occupancy import (
-        build_occupancy_grid,
-        derive_scene_bbox,
-    )
+    from neuralsim_tpu.ops.occupancy import build_scene_grid, scene_half_extent
     from neuralsim_tpu.ops.render import render_poses
     from neuralsim_tpu.sampler.poses import pose_spherical
 
@@ -131,10 +128,8 @@ def main():
     # bbox derived from the density field (the driver does the same —
     # nothing is assumed about where/how large the object is)
     sigma_fn = make_sigma_fn(params, net)
-    bbox_min, bbox_max = derive_scene_bbox(
-        sigma_fn, half_extent=max(1.01 - rc.near, rc.far - 1.01))
-    grid = build_occupancy_grid(
-        sigma_fn, bbox_min, bbox_max,
+    grid = build_scene_grid(
+        sigma_fn, scene_half_extent(1.01, rc.far, H, W, K),
         resolution=96, threshold=1e-2, dilate=2,
     )
     # measured-coverage budget, exactly as the BilevelDriver sets it: the
@@ -208,4 +203,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote-compile relay occasionally drops connections transiently
+    # (Connection refused mid-run observed round 3); the bench runs
+    # unattended at round end, so retry rather than lose the datapoint
+    attempts = 3
+    for i in range(attempts):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 — relay faults surface as
+            # JaxRuntimeError/RPC errors of several concrete types
+            transient = "remote_compile" in str(e) or "Connection" in str(e)
+            if not transient or i == attempts - 1:
+                raise
+            print(f"# transient relay fault (attempt {i + 1}/{attempts}), "
+                  f"retrying in 120s: {e}", flush=True)
+            time.sleep(120)

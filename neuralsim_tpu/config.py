@@ -471,6 +471,7 @@ _FLAG_MAP = {
     "tighten_bounds": ("render", "tighten_bounds"),
     "cull_mode": ("render", "cull_mode"),
     "n_samples_culled": ("render", "n_samples_culled"),
+    "n_importance_culled": ("render", "n_importance_culled"),
     "use_pallas": ("render", "use_pallas"),
     "fine_fraction": ("render", "fine_fraction"),
     "psi_mode": ("bilevel", "psi_mode"),

@@ -177,6 +177,15 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
 
     cache = jit_cache if jit_cache is not None else {}
     leaf = jax.tree_util.tree_leaves(models)[0]
+    try:
+        leaf_ref = weakref.ref(leaf)
+    except TypeError:
+        # numpy leaves (e.g. straight from load_params_npz) aren't
+        # weakref-able; hold a STRONG ref instead — the id can't be
+        # recycled while the cache entry keeps the leaf alive, so the
+        # identity check below stays sound (the entry is replaced, and
+        # the old leaf released, on the first call with a new pytree)
+        leaf_ref = (lambda obj: (lambda: obj))(leaf)
 
     def strip_fn(start: int, s: int):
         # one compiled program per (start, length); the tail strip is its
@@ -194,7 +203,7 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
                                               psi_mode)
                 )(p)
             )
-            cache[key] = (weakref.ref(leaf), program)
+            cache[key] = (leaf_ref, program)
         return cache[key][1]
 
     total = jnp.zeros_like(psi)

@@ -91,8 +91,38 @@ def build_occupancy_grid(sigma_fn: Callable, bbox_min, bbox_max,
     return OccupancyGrid(occ, bbox_min, bbox_max)
 
 
+def scene_half_extent(radius: float, far: float,
+                      H: int = None, W: int = None, K=None) -> float:
+    """Conservative probe-cube half extent for a look-at-origin rig.
+
+    Rays use the NeRF z-depth convention (ops.rays.get_rays: direction
+    [(i-cx)/f, -(j-cy)/f, -1], UN-normalized), so a sample at depth t on
+    the ray through pixel-plane tangents (u, v) sits at
+
+        dist^2(t) = (radius - t)^2 + t^2 * (u^2 + v^2)
+
+    from the origin (o.d = -radius for a look-at-origin camera). Convex in
+    t, so the max is at an endpoint; take t = far and t = 0 (superset of
+    [near, far]). With intrinsics, u/v are bounded by the actual sensor
+    corners; without, u_max = v_max = 1 covers any FOV up to 90 deg per
+    half-axis. The on-axis bound max(r - near, far - r) used before
+    round 3's review under-covers off-axis frustum content (far-plane
+    corners reach past it even at the default narrow FOV)."""
+    import math
+
+    if K is not None:
+        Kh = jnp.asarray(K)
+        u = max(float(Kh[0, 2]), (W - 1) - float(Kh[0, 2])) / float(Kh[0, 0])
+        v = max(float(Kh[1, 2]), (H - 1) - float(Kh[1, 2])) / float(Kh[1, 1])
+        m = u * u + v * v
+    else:
+        m = 2.0
+    return math.sqrt(max((radius - far) ** 2 + far * far * m,
+                         radius * radius))
+
+
 def derive_scene_bbox(sigma_fn: Callable, half_extent: float,
-                      resolution: int = 64, threshold: float = 1e-2,
+                      resolution: int = 96, threshold: float = 1e-2,
                       margin_voxels: int = 2, chunk: int = 131072):
     """Derive the occupancy bbox FROM the density field instead of assuming
     a fixed cube (VERDICT r2 #3: a hard-coded (-0.4,0.4)^3 silently culls
@@ -100,9 +130,9 @@ def derive_scene_bbox(sigma_fn: Callable, half_extent: float,
 
     Probes sigma on a coarse lattice over the generous cube
     [-half_extent, half_extent]^3 — callers derive half_extent from the
-    camera geometry (every sample point of a look-at-origin rig at radius r
-    with depths in [near, far] lies within max(r - near, far - r) of the
-    origin) — and returns the AABB of voxels with sigma > threshold,
+    camera geometry via ``scene_half_extent`` (sqrt(r^2 + far^2) bounds
+    every sample point any frustum of a look-at-origin rig at radius r can
+    reach) — and returns the AABB of voxels with sigma > threshold,
     widened by ``margin_voxels``. Falls back to the full cube when nothing
     exceeds the threshold (degenerate scene: cull nothing meaningful).
 
@@ -133,6 +163,20 @@ def derive_scene_bbox(sigma_fn: Callable, half_extent: float,
     bbox_min = -he + jnp.clip(lo, 0, r).astype(jnp.float32) * vox
     bbox_max = -he + jnp.clip(hi, 0, r).astype(jnp.float32) * vox
     return bbox_min, bbox_max
+
+
+def build_scene_grid(sigma_fn: Callable, half_extent: float,
+                     resolution: int = 96, threshold: float = 1e-2,
+                     dilate: int = 2) -> OccupancyGrid:
+    """derive_scene_bbox + build_occupancy_grid in one call — the shared
+    grid-construction path for every production consumer (BilevelDriver,
+    NeuralSimRenderer, bench), so the derived-bbox fix lives in ONE place
+    rather than being special-cased per caller."""
+    bbox_min, bbox_max = derive_scene_bbox(sigma_fn, half_extent,
+                                           threshold=threshold)
+    return build_occupancy_grid(sigma_fn, bbox_min, bbox_max,
+                                resolution=resolution, threshold=threshold,
+                                dilate=dilate)
 
 
 def grid_lookup(grid: OccupancyGrid, pts) -> jnp.ndarray:
@@ -188,8 +232,12 @@ def ray_z_bounds(grid: OccupancyGrid, rays_o, rays_d, z_vals,
 def occupied_aabb(grid: OccupancyGrid):
     """AABB of the OCCUPIED voxels (not the grid's domain): per-axis
     projections of the occupancy, voxel-aligned. An all-empty grid yields
-    an inverted box (min > max) — the slab test then hits nothing, which
-    is the correct cull for a void scene. Traced-compatible (runs inside
+    a ZERO-VOLUME box at the domain corner — the slab test against a point
+    box misses every ray except measure-zero corner grazers, the correct
+    cull for a void scene. (An inverted min > max box would NOT work: the
+    slab test's per-axis jnp.minimum/jnp.maximum treats the plane pair as
+    unordered, so an inverted box degenerates to the FULL domain — every
+    ray a hit, culling silently disabled.) Traced-compatible (runs inside
     jit, ~r^3 boolean reduction — trivial next to one MLP tile)."""
     r = grid.occ.shape[0]
     vox = (grid.bbox_max - grid.bbox_min) / r
@@ -202,6 +250,8 @@ def occupied_aabb(grid: OccupancyGrid):
         his.append(jnp.max(jnp.where(proj, idx, -1)) + 1)
     lo = jnp.stack(los).astype(jnp.float32)
     hi = jnp.stack(his).astype(jnp.float32)
+    # all-empty: lo = r, hi = 0 -> collapse to the point box [min, min]
+    lo = jnp.minimum(lo, hi)
     return grid.bbox_min + lo * vox, grid.bbox_min + hi * vox
 
 

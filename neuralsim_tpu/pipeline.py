@@ -100,16 +100,31 @@ class NeuralSimRenderer:
         self._render_fn = jax.jit(self._render_impl)
 
     def occupancy_grid(self, resolution: int = 96, threshold: float = 1e-2,
-                       dilate: int = 2, bbox_half: float = 0.4):
+                       dilate: int = 2, bbox_half: float = None):
         """Conservative occupancy grid from the coarse model's density
-        (cached by the constructor when hit_budget < 1.0). The default bbox
-        covers the YCB-V object region (objects are origin-centered with
-        diameters <= ~0.4 scene units, data/bop_convert.py tables)."""
+        (cached by the constructor when hit_budget < 1.0). By default the
+        bbox is DERIVED from the density field over the full reachable
+        frustum cube (ops.occupancy.build_scene_grid) — the same path as
+        BilevelDriver, so an object outside the old hard-coded
+        (-0.4, 0.4)^3 YCB-V cube is never silently culled here either.
+        Pass ``bbox_half`` to force a fixed cube instead."""
         from neuralsim_tpu.models.nerf import make_sigma_fn
-        from neuralsim_tpu.ops.occupancy import build_occupancy_grid
+        from neuralsim_tpu.ops.occupancy import (
+            build_occupancy_grid,
+            build_scene_grid,
+            scene_half_extent,
+        )
 
+        sigma_fn = make_sigma_fn(self.models["coarse"], self.cfg.net)
+        if bbox_half is None:
+            return build_scene_grid(
+                sigma_fn,
+                scene_half_extent(self.cfg.sampler.radius, self.rc.far,
+                                  self.H, self.W, self.K),
+                resolution=resolution, threshold=threshold, dilate=dilate,
+            )
         return build_occupancy_grid(
-            make_sigma_fn(self.models["coarse"], self.cfg.net),
+            sigma_fn,
             bbox_min=(-bbox_half,) * 3, bbox_max=(bbox_half,) * 3,
             resolution=resolution, threshold=threshold, dilate=dilate,
         )

@@ -74,6 +74,25 @@ def test_cli_flag_parsing_reference_surface(tmp_path):
     assert cfg.bilevel.opt_method == "Adam"
 
 
+def test_cli_production_sampling_flags(tmp_path):
+    """Every knob of the benched production configuration is reachable from
+    the CLI (round-3 review: n_importance_culled was missing from the flag
+    map, so the published rays/s config couldn't be reproduced by flag)."""
+    from neuralsim_tpu.config import parse_cli
+
+    cfg = parse_cli([
+        "--expname", "exp1", "--object_id", "2",
+        "--hit_budget", "0.75", "--tighten_bounds", "True",
+        "--cull_mode", "aabb", "--n_samples_culled", "16",
+        "--n_importance_culled", "64",
+    ])
+    assert cfg.render.hit_budget == 0.75
+    assert cfg.render.tighten_bounds is True
+    assert cfg.render.cull_mode == "aabb"
+    assert cfg.render.n_samples_culled == 16
+    assert cfg.render.n_importance_culled == 64
+
+
 def test_cli_end_to_end_bilevel(tmp_path, rng):
     """Full L7 path: reference directory layout in, bilevel epoch out."""
     import jax

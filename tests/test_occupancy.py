@@ -308,6 +308,7 @@ def test_derived_bbox_covers_offcenter_object():
     from neuralsim_tpu.ops.occupancy import (
         build_occupancy_grid,
         derive_scene_bbox,
+        scene_half_extent,
     )
     from neuralsim_tpu.ops.render import render_poses
     from neuralsim_tpu.sampler.poses import pose_spherical
@@ -320,7 +321,7 @@ def test_derived_bbox_covers_offcenter_object():
                               center=center)
     sigma_fn = make_sigma_fn(params, net)
 
-    half_extent = max(1.01 - rc.near, rc.far - 1.01)
+    half_extent = scene_half_extent(1.01, rc.far)
     bmin, bmax = np.asarray(derive_scene_bbox(sigma_fn, half_extent))
     # the derived box brackets the object...
     assert (bmin <= np.asarray(center) - 0.08 + 1e-3).all()
@@ -351,6 +352,54 @@ def test_derived_bbox_empty_scene_falls_back():
     bmin, bmax = derive_scene_bbox(lambda p: jnp.zeros(p.shape[:-1]), 0.9)
     np.testing.assert_allclose(np.asarray(bmin), [-0.9] * 3)
     np.testing.assert_allclose(np.asarray(bmax), [0.9] * 3)
+
+
+def test_empty_grid_aabb_hits_nothing():
+    """Regression (round-3 review): an all-empty grid must cull EVERYTHING.
+    The naive 'inverted box' (min > max) degenerates to the FULL domain in
+    the orientation-agnostic slab test — culling silently disabled; the fix
+    collapses it to a zero-volume box, which no generic ray intersects."""
+    from neuralsim_tpu.ops.occupancy import (
+        OccupancyGrid,
+        occupied_aabb,
+        ray_aabb_bounds,
+    )
+    from neuralsim_tpu.ops.rays import get_rays
+
+    grid = OccupancyGrid(jnp.zeros((8, 8, 8), jnp.float32),
+                         jnp.full((3,), -0.8), jnp.full((3,), 0.8))
+    bmin, bmax = occupied_aabb(grid)
+    assert (np.asarray(bmax - bmin) == 0.0).all()
+
+    K = np.array([[15.0, 0, 6.0], [0, 15.0, 6.0], [0, 0, 1.0]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 1.01  # camera on +z looking through the grid domain
+    ro, rd = get_rays(12, 12, K, jnp.asarray(c2w[:3, :4]))
+    hit, _, _ = ray_aabb_bounds(grid, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                near=0.31, far=1.93)
+    assert not bool(jnp.any(hit))
+
+
+def test_scene_half_extent_covers_frustum_corners():
+    """The probe cube must bound EVERY sample point the rig can reach —
+    including far-plane corners at wide FOV, which the old on-axis bound
+    max(r - near, far - r) misses (round-3 review)."""
+    from neuralsim_tpu.ops.occupancy import scene_half_extent
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.sampler.poses import pose_spherical
+
+    radius, near, far = 1.01, 0.31, 1.93
+    he = scene_half_extent(radius, far)
+    assert he > max(radius - near, far - radius)  # strictly more generous
+
+    # wide-FOV camera (f ~ W/2 -> ~90 deg): sample the far plane and check
+    # every point lies inside the cube
+    K = np.array([[8.0, 0, 8.0], [0, 8.0, 8.0], [0, 0, 1.0]], np.float32)
+    for th, phi in [(0.0, -90.0), (45.0, -30.0), (180.0, -5.0)]:
+        c2w = pose_spherical(jnp.array([th]), jnp.array([phi]), radius)[0]
+        ro, rd = get_rays(16, 16, K, c2w[:3, :4])
+        pts = ro + rd * far
+        assert float(jnp.max(jnp.abs(pts))) <= he + 1e-5
 
 
 def test_aabb_bounds_conservative_and_tight(sphere_grid):

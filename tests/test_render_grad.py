@@ -119,3 +119,25 @@ def test_strip_cache_invalidates_on_model_swap(scene):
     np.testing.assert_allclose(g_b_shared, g_b_fresh, rtol=1e-6)
     # and the models genuinely differ, so a stale program would show
     assert not np.allclose(g_a, g_b_fresh)
+
+
+def test_strips_accept_numpy_leaves(scene):
+    """Model pytrees with NUMPY leaves (straight from load_params_npz)
+    must work: numpy arrays aren't weakref-able, so the cache falls back
+    to a strong reference (round-3 review finding)."""
+    models, grad_E = scene
+    models_np = jax.tree_util.tree_map(np.asarray, models)
+    psi = jnp.zeros((8,), jnp.float32).at[4].set(1.0)
+    noise = draw_pose_noise(jax.random.PRNGKey(6), SC, num_k=3)
+    cache = {}
+    g_np = np.asarray(render_grad_psi_strips(
+        models_np, psi, noise, grad_E, H, W, K, NET, RC, SC,
+        strip=H * W, jit_cache=cache))
+    g_jnp = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=H * W))
+    np.testing.assert_allclose(g_np, g_jnp, rtol=1e-5, atol=1e-8)
+    # the strong-ref fallback still reuses programs across calls
+    n = len(cache)
+    render_grad_psi_strips(models_np, psi, noise, grad_E, H, W, K, NET, RC,
+                           SC, strip=H * W, jit_cache=cache)
+    assert len(cache) == n
