@@ -500,6 +500,12 @@ def config_from_flags(flags: dict, base: Optional[NeuralSimConfig] = None) -> Ne
         if key not in _FLAG_MAP:
             raise KeyError(f"unknown flag: --{key}")
         sec, fieldname = _FLAG_MAP[key]
+        if isinstance(val, str) and val == "None":
+            # nullable knobs (n_samples_culled / n_importance_culled / ...)
+            # accept `--flag None` to restore the disabled state; without
+            # this the truthy string "None" would flow into sample-count
+            # arithmetic at trace time
+            val = None
         if key == "perturb":            # reference uses float 0/1
             val = bool(val)
         if key in ("optimization", "pretrain"):

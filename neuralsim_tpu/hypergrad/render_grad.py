@@ -162,13 +162,14 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
     arguments: the round-2 TPU bisect (V1/V3 green, V2 red) showed the v5e
     register allocator also RET_CHECKs when the differentiated render takes
     the model pytree as a jit argument — embedding it as a constant is the
-    verified-green formulation. Each cache entry holds a WEAKREF to the
-    params leaf it was compiled against and is invalidated when the leaf
-    dies or differs — keying on id() would silently serve a program with
-    STALE embedded weights if CPython reused a GC'd pytree's id (ADVICE r2).
+    verified-green formulation. Each cache entry stores the params leaf it
+    was compiled against and is replaced when the caller's leaf differs by
+    identity — keying on a bare id() would silently serve a program with
+    STALE embedded weights if CPython reused a GC'd pytree's id (ADVICE
+    r2); the stored leaf pins the object (the program closes over the
+    whole pytree anyway), so the identity check is sound for jax and
+    numpy leaves alike.
     """
-    import weakref
-
     n_img = grad_E.shape[0]
     n_pix = H * W
     strip = min(strip or rc.ray_chunk, n_pix)
@@ -177,22 +178,13 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
 
     cache = jit_cache if jit_cache is not None else {}
     leaf = jax.tree_util.tree_leaves(models)[0]
-    try:
-        leaf_ref = weakref.ref(leaf)
-    except TypeError:
-        # numpy leaves (e.g. straight from load_params_npz) aren't
-        # weakref-able; hold a STRONG ref instead — the id can't be
-        # recycled while the cache entry keeps the leaf alive, so the
-        # identity check below stays sound (the entry is replaced, and
-        # the old leaf released, on the first call with a new pytree)
-        leaf_ref = (lambda obj: (lambda: obj))(leaf)
 
     def strip_fn(start: int, s: int):
         # one compiled program per (start, length); the tail strip is its
         # own (smaller) program — no padding, no dynamic offsets
         key = ("strip_grad", start, s, H, W, psi_mode)
         entry = cache.get(key)
-        if entry is None or entry[0]() is not leaf:
+        if entry is None or entry[0] is not leaf:
             rc_strip = dataclasses.replace(
                 rc, remat=False, pe_projection=False,
                 compute_dtype="float32", ray_chunk=s, use_pallas=False)
@@ -203,7 +195,7 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
                                               psi_mode)
                 )(p)
             )
-            cache[key] = (leaf_ref, program)
+            cache[key] = (leaf, program)
         return cache[key][1]
 
     total = jnp.zeros_like(psi)

@@ -110,7 +110,7 @@ def scene_half_extent(radius: float, far: float,
     corners reach past it even at the default narrow FOV)."""
     import math
 
-    if K is not None:
+    if K is not None and H is not None and W is not None:
         Kh = jnp.asarray(K)
         u = max(float(Kh[0, 2]), (W - 1) - float(Kh[0, 2])) / float(Kh[0, 0])
         v = max(float(Kh[1, 2]), (H - 1) - float(Kh[1, 2])) / float(Kh[1, 1])

@@ -92,6 +92,15 @@ def test_cli_production_sampling_flags(tmp_path):
     assert cfg.render.n_samples_culled == 16
     assert cfg.render.n_importance_culled == 64
 
+    # `--flag None` restores the disabled state of nullable knobs (the
+    # string "None" must not reach sample-count arithmetic)
+    cfg = parse_cli([
+        "--expname", "exp1", "--object_id", "2",
+        "--n_samples_culled", "None", "--n_importance_culled", "None",
+    ])
+    assert cfg.render.n_samples_culled is None
+    assert cfg.render.n_importance_culled is None
+
 
 def test_cli_end_to_end_bilevel(tmp_path, rng):
     """Full L7 path: reference directory layout in, bilevel epoch out."""
