@@ -153,10 +153,18 @@ def main():
     rc_prod = dataclasses.replace(rc, hit_budget=budget,
                                   tighten_bounds=True,
                                   n_importance_culled=64)
+    # turbo = the measured ladder's ic32 point (2.01M rays/s at 45.7 dB
+    # round 3): 32 in-interval importance samples are still ~2x the
+    # reference's per-unit-length fine density; reported as an extra field
+    # with its own PSNR guard so consumers see the speed/quality ladder
+    rc_turbo = dataclasses.replace(rc_prod, n_importance_culled=32)
     fn_exact = jax.jit(
         lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
     fn_prod = jax.jit(
         lambda m, p, g: render_poses(m, p, H, W, K, None, net, rc_prod,
+                                     grid=g)["rgb_map"])
+    fn_turbo = jax.jit(
+        lambda m, p, g: render_poses(m, p, H, W, K, None, net, rc_turbo,
                                      grid=g)["rgb_map"])
 
     def run_sync(fn, *args):
@@ -179,15 +187,28 @@ def main():
 
     out_exact = np.asarray(run_sync(fn_exact, models, poses))
     out_prod = np.asarray(run_sync(fn_prod, models, poses, grid))
+    out_turbo = np.asarray(run_sync(fn_turbo, models, poses, grid))
     assert np.isfinite(out_exact).all() and np.isfinite(out_prod).all()
-    mse = float(np.mean((out_exact - out_prod) ** 2))
-    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert np.isfinite(out_turbo).all()
+
+    def psnr_vs_exact(out):
+        mse = float(np.mean((out_exact - out) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    psnr = psnr_vs_exact(out_prod)
+    psnr_turbo = psnr_vs_exact(out_turbo)
     assert psnr > 40.0, f"production cull diverges from exact: {psnr:.1f} dB"
 
     dt_exact = best_time(fn_exact, models, poses)
     dt_prod = best_time(fn_prod, models, poses, grid)
     exact_rps = n_rays / dt_exact
     prod_rps = n_rays / dt_prod
+    # turbo is informational: it must never take down the headline run,
+    # so a guard miss nulls the field instead of asserting
+    if psnr_turbo > 40.0:
+        turbo_rps = n_rays / best_time(fn_turbo, models, poses, grid)
+    else:
+        turbo_rps = None
 
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip_400sq_production",
@@ -196,9 +217,13 @@ def main():
         "vs_baseline": round(prod_rps / NORTH_STAR_RAYS_PER_SEC, 4),
         "exact_rays_per_sec": round(exact_rps, 1),
         "production_psnr_vs_exact_db": round(psnr, 1),
+        "turbo_rays_per_sec": (round(turbo_rps, 1)
+                               if turbo_rps is not None else None),
+        "turbo_psnr_vs_exact_db": round(psnr_turbo, 1),
         "hit_budget": rc_prod.hit_budget,
         "production_sampling": "cull+tighten 16c+64f in-interval "
-                               "(exact comparator 64c+128f full-range)",
+                               "(exact comparator 64c+128f full-range); "
+                               "turbo=16c+32f",
     }))
 
 
