@@ -18,7 +18,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 
 
+def _relay_reachable() -> bool:
+    """With the axon backend registered but its remote relay DOWN,
+    jax.devices() HANGS (it retries the tunnel) rather than raising —
+    probe the relay socket first so the gate skips instead of wedging."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not the axon transport; let jax.devices() decide
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
 def _tpu_available() -> bool:
+    if not _relay_reachable():
+        return False
     try:
         import jax
 

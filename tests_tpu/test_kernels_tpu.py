@@ -101,9 +101,9 @@ def test_production_render_psnr_guard(scene):
     device: production within the 40dB guard of exact on a small frame."""
     from neuralsim_tpu.models.nerf import make_sigma_fn
     from neuralsim_tpu.ops.occupancy import (
-        build_occupancy_grid,
+        build_scene_grid,
         calibrate_hit_budget,
-        derive_scene_bbox,
+        scene_half_extent,
     )
     from neuralsim_tpu.ops.render import render_poses
     from neuralsim_tpu.sampler.poses import pose_spherical
@@ -118,10 +118,10 @@ def test_production_render_psnr_guard(scene):
                   [0.0, 0.0, 1.0]], np.float32)
     poses = pose_spherical(jnp.asarray([30.0]), jnp.asarray([-30.0]), 1.01)
     sigma_fn = make_sigma_fn(params, NET)
-    bmin, bmax = derive_scene_bbox(
-        sigma_fn, max(1.01 - rc.near, rc.far - 1.01))
-    grid = build_occupancy_grid(sigma_fn, bmin, bmax, resolution=64,
-                                threshold=1e-2, dilate=2)
+    # the exact grid-construction path production uses (driver/pipeline)
+    grid = build_scene_grid(sigma_fn, scene_half_extent(1.01, rc.far,
+                                                        H, W, K),
+                            resolution=64)
     budget = calibrate_hit_budget(grid, poses, H, W, K, rc)
     rc_prod = dataclasses.replace(rc, hit_budget=budget,
                                   tighten_bounds=True,
@@ -136,3 +136,33 @@ def test_production_render_psnr_guard(scene):
     mse = float(np.mean((exact - prod) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, f"production diverges from exact on-device: {psnr:.1f}"
+
+
+def test_strips_psi_gradient_on_device(scene):
+    """The production psi-gradient formulation (render_grad_psi_strips) is
+    the round-2 bisect's ONLY RET_CHECK-green shape on the v5e backend
+    (scan-free single tile, params closed over). A backend drift that
+    re-introduces the lsrav2/live_range_finder abort, or numerically
+    breaks the differentiated render, must trip this gate — finite AND
+    non-zero grad on a real-density scene (a random-init NeRF has zero
+    compositing weights everywhere and would pass vacuously)."""
+    from neuralsim_tpu.config import SamplerConfig
+    from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_strips
+    from neuralsim_tpu.sampler.poses import draw_pose_noise
+
+    params = scene[0]
+    models = {"coarse": params, "fine": params}
+    rc = RenderConfig(n_samples=16, n_importance=16,
+                      ray_chunk=4096).test_mode()
+    sc = SamplerConfig()
+    H = W = 24
+    K = np.array([[80.0, 0.0, 12.0], [0.0, 80.0, 12.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    psi = jnp.zeros((8,), jnp.float32).at[4].set(1.0)
+    noise = draw_pose_noise(jax.random.PRNGKey(2), sc, num_k=2)
+    grad_E = jax.random.normal(jax.random.PRNGKey(3), (2, H, W, 3)) * 1e-2
+    g = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, rc, sc, strip=H * W))
+    assert g.shape == (8,)
+    assert np.isfinite(g).all()
+    assert float(np.abs(g).max()) > 0.0
