@@ -366,6 +366,7 @@ class BilevelDriver:
         return inverse_hvp(
             loss_fn, trainable, batch, v,
             method=bc.ihvp_solver, damping=bc.ihvp_damping, cg_iters=bc.cg_iters,
+            lissa_iters=bc.lissa_iters, lissa_scale=bc.lissa_scale,
         )
 
     def _grad_e_impl(self, params, renders, gt_boxes, gt_labels, gt_valid, v):

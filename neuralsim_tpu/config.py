@@ -261,11 +261,14 @@ class BilevelConfig:
     # ~2x inner-train compute)
     hypergrad_mode: str = "influence"
     # inverse-HVP solver: "onestep" reproduces the reference's live path
-    # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" is the real CG
-    # solver the reference left dead; "neumann" = 2v - Hv; "identity" = v.
+    # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" and "lissa" are
+    # real solvers for the branches the reference left dead (:984, :993);
+    # "neumann" = 2v - Hv; "identity" = v.
     ihvp_solver: str = "onestep"
     ihvp_damping: float = 1e-2
     cg_iters: int = 10
+    lissa_iters: int = 30
+    lissa_scale: float = 25.0           # must exceed ||H + damping I||_2
     # sign applied to the influence-mode grad_E before the psi chain rule.
     # The implicit function theorem gives dL_val/dI = -(d2L_tr/dI dtheta)
     # H^{-1} grad L_val — the reference OMITS this minus
@@ -477,6 +480,9 @@ _FLAG_MAP = {
     "psi_mode": ("bilevel", "psi_mode"),
     "grad_mode": ("bilevel", "grad_mode"),
     "ihvp_solver": ("bilevel", "ihvp_solver"),
+    "cg_iters": ("bilevel", "cg_iters"),
+    "lissa_iters": ("bilevel", "lissa_iters"),
+    "lissa_scale": ("bilevel", "lissa_scale"),
 }
 
 # flags the reference accepts but that have no effect on this implementation

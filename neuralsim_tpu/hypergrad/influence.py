@@ -14,6 +14,7 @@ calls over optimizer param groups:
   cg_max_iter=-2 ones               inverse_hvp("ones")        (:929-930)
   cg_max_iter=-3 Neumann 2v-Hv      inverse_hvp("neumann")     (:988-991)
   dead CG branch (:993, undefined)  inverse_hvp("cg") — a REAL CG solver
+  dead lissa branch (:984, undef.)  inverse_hvp("lissa") — a REAL LiSSA loop
   compute_grad_E mixed partial      mixed_grad_wrt_images      (:855-911)
 
 All functions take ``loss_fn(params, batch) -> scalar`` and pytree params;
@@ -90,7 +91,9 @@ def hvp_mean(loss_fn: Callable, params, batches, v):
 
 
 def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
-                damping: float = 1e-2, cg_iters: int = 10):
+                damping: float = 1e-2, cg_iters: int = 10,
+                lissa_iters: int = 30, lissa_scale: float = 25.0,
+                lissa_stacked: bool = False):
     """Approximate H^{-1} v (or the reference's stand-ins for it).
 
     methods:
@@ -102,6 +105,17 @@ def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
                  first-order Neumann series for H^{-1}v when ||H|| < 1)
       cg       : conjugate-gradient solve of (H + damping I) x = v — the
                  solver the reference's dead branch intended (:993)
+      lissa    : LiSSA truncated-Neumann recursion (Agarwal et al. 2017,
+                 the estimator the reference's dead ``get_inverse_hvp_lissa``
+                 branch named, :984): x_j = v + (I - (H + damping I)/scale)
+                 x_{j-1}, x_0 = v; returns x_J / scale -> (H + damping I)^{-1}
+                 v as J -> inf whenever scale > ||H + damping I||. Unlike CG
+                 it needs no SPD assumption beyond that spectral bound, and
+                 each step is a single HVP — a fixed-length lax.scan here.
+                 With ``lissa_stacked=True``, ``batch`` leaves must carry a
+                 leading ``lissa_iters`` axis and each recursion step
+                 consumes its own minibatch (the stochastic estimator of the
+                 paper); otherwise the single batch is replayed every step.
     """
     if method == "identity":
         return v
@@ -118,7 +132,37 @@ def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
             lambda x: tree_axpy(damping, x, hvp(loss_fn, params, batch, x)),
             v, cg_iters,
         )
+    if method == "lissa":
+        return _lissa_solve(loss_fn, params, batch, v, damping,
+                            lissa_iters, lissa_scale, lissa_stacked)
     raise ValueError(f"unknown inverse-HVP method: {method}")
+
+
+def _lissa_solve(loss_fn, params, batch, v, damping, iters, scale, stacked):
+    """Truncated stochastic Neumann series for (H + damping I)^{-1} v.
+
+    ``batch`` is a single minibatch (replayed every recursion step) or, with
+    ``stacked``, a stack whose leaves carry a leading ``iters`` axis (one
+    minibatch per step — LiSSA's stochastic estimator). Fixed-length
+    lax.scan, jittable.
+    """
+    if stacked:
+        lead = {tuple(l.shape[:1]) for l in jax.tree_util.tree_leaves(batch)}
+        if lead != {(iters,)}:
+            raise ValueError(
+                f"lissa_stacked batch leaves must lead with [{iters}]; "
+                f"got leading dims {sorted(lead)}")
+
+    def body(x, step_batch):
+        b = step_batch if stacked else batch
+        hx = tree_axpy(damping, x, hvp(loss_fn, params, b, x))
+        x = jax.tree_util.tree_map(
+            lambda vi, xi, hi: vi + xi - hi / scale, v, x, hx)
+        return x, None
+
+    xs = batch if stacked else None
+    x, _ = jax.lax.scan(body, v, xs, length=iters)
+    return jax.tree_util.tree_map(lambda xi: xi / scale, x)
 
 
 def _cg_solve(matvec, b, iters: int):

@@ -89,6 +89,51 @@ def test_cg_solves_linear_system(rng):
     np.testing.assert_allclose(np.asarray(out["theta"]), want, rtol=1e-3, atol=1e-4)
 
 
+def test_lissa_converges_to_damped_inverse(rng):
+    A, b, theta, params, batch = _setup(rng)
+    v_np = rng.randn(6).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+    damping = 1e-2
+    scale = float(np.linalg.norm(A + damping * np.eye(6), 2)) * 1.5
+    out = inverse_hvp(quad_loss, params, batch, v, "lissa", damping=damping,
+                      lissa_iters=400, lissa_scale=scale)
+    want = np.linalg.solve(A + damping * np.eye(6), v_np)
+    np.testing.assert_allclose(np.asarray(out["theta"]), want,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_lissa_stacked_batches(rng):
+    """Stochastic mode: per-step minibatches whose mean Hessian is A."""
+    A, b, theta, params, batch = _setup(rng)
+    v_np = rng.randn(6).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+    damping, iters = 1e-2, 200
+    scale = float(np.linalg.norm(A + damping * np.eye(6), 2)) * 2.0
+    # alternate A*(1 +/- eps): same solution once averaged over the recursion
+    eps = 0.05
+    factors = np.where(np.arange(iters) % 2 == 0, 1 + eps, 1 - eps)
+    As = jnp.array(factors[:, None, None] * A[None], jnp.float32)
+    bs = jnp.broadcast_to(jnp.array(b), (iters, 6))
+    out = inverse_hvp(quad_loss, params, (As, bs), v, "lissa",
+                      damping=damping, lissa_iters=iters, lissa_scale=scale,
+                      lissa_stacked=True)
+    want = np.linalg.solve(A + damping * np.eye(6), v_np)
+    np.testing.assert_allclose(np.asarray(out["theta"]), want,
+                               rtol=2e-2, atol=1e-3)
+
+
+def test_lissa_stacked_shape_guard(rng):
+    A, b, theta, params, batch = _setup(rng)
+    v = {"theta": jnp.array(rng.randn(6).astype(np.float32))}
+    try:
+        inverse_hvp(quad_loss, params, batch, v, "lissa",
+                    lissa_iters=7, lissa_stacked=True)
+    except ValueError as e:
+        assert "lead with [7]" in str(e)
+    else:
+        raise AssertionError("stacked LiSSA accepted un-stacked batch")
+
+
 def test_mixed_grad_wrt_images_closed_form(rng):
     """L(theta, I) = theta . (W I_flat): d/dI <dL/dtheta, v> = W^T v."""
     d, hw = 4, 9
