@@ -41,6 +41,38 @@ def pallas_available() -> bool:
         return False
 
 
+def _matmul_precision(compute_dtype):
+    """Trace-time matmul precision scope for a given compute dtype.
+
+    On TPU the DEFAULT precision for f32 dot operands is a single bf16 MXU
+    pass; f32 compute mode exists as the exactness/parity path, so it must
+    request true-f32 passes explicitly. Without this, the kernel and the
+    XLA reference accumulate default-precision error differently through
+    the 13 chained matmuls and drift past the 2e-3 parity tolerance —
+    caught by the on-device gate (tests_tpu) the first time it ran on real
+    hardware. bf16 mode is untouched (single-pass either way).
+    """
+    import contextlib
+
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
+def _with_matmul_precision(kernel_fn):
+    """Wrap a Pallas kernel body so every precision-unannotated jnp.dot it
+    binds while TRACING picks up the f32-true precision when
+    compute_dtype=float32 (jnp resolves precision=None against the config
+    default at bind time, so the scope must be live during tracing)."""
+
+    @functools.wraps(kernel_fn)
+    def wrapped(*args, compute_dtype, **kwargs):
+        with _matmul_precision(compute_dtype):
+            return kernel_fn(*args, compute_dtype=compute_dtype, **kwargs)
+
+    return wrapped
+
+
 def _pe_matmul(x, kernel_ref, n_freqs: int, compute_dtype, row0: int = 0):
     """y = PE(x) @ W without materializing PE(x).
 
@@ -71,6 +103,7 @@ def _pe_matmul(x, kernel_ref, n_freqs: int, compute_dtype, row0: int = 0):
     return acc
 
 
+@_with_matmul_precision
 def _mlp_pe_kernel(pts_ref, dirs_ref, *refs, depth: int, skips,
                    n_freqs_x: int, n_freqs_d: int, compute_dtype):
     """Whole NeRF MLP with the positional encodings fused into the first
@@ -125,6 +158,7 @@ def _mlp_pe_kernel(pts_ref, dirs_ref, *refs, depth: int, skips,
     out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1).astype(out_ref.dtype)
 
 
+@_with_matmul_precision
 def _mlp_kernel(x_ref, d_ref, *refs, depth: int, skips, compute_dtype):
     """refs layout: pts kernels/biases (depth pairs), feature, alpha,
     views_0, rgb pairs, then out_ref last."""
@@ -424,6 +458,7 @@ def _wide_pe(x, sel_ref, freq_ref, phase_ref, mask_ref, compute_dtype):
     return pe.astype(compute_dtype)
 
 
+@_with_matmul_precision
 def _mlp_widepe_kernel(pts_ref, dirs_ref,
                        selx_ref, freqx_ref, phasex_ref, maskx_ref,
                        seld_ref, freqd_ref, phased_ref, maskd_ref,
@@ -575,6 +610,7 @@ def _strict_upper(s: int):
     return np.triu(np.ones((s, s), np.float32), 1)
 
 
+@_with_matmul_precision
 def _render_tile_kernel(pts_ref, dirs_ref, z_ref, dnorm_ref,
                         selx_ref, freqx_ref, phasex_ref, maskx_ref,
                         seld_ref, freqd_ref, phased_ref, maskd_ref,
@@ -810,6 +846,7 @@ def fused_render_tile(params: Dict, rays_o, rays_d, viewdirs, z_vals,
 # matmuls.
 
 
+@_with_matmul_precision
 def _march_channels_kernel(in_ref,
                            cx0, cx1, cx2, freqx_ref, phasex_ref, maskx_ref,
                            cd0, cd1, cd2, freqd_ref, phased_ref, maskd_ref,

@@ -84,10 +84,17 @@ def init_nerf_pipeline_params(key, net: NeRFNetConfig, n_importance: int) -> Dic
 
 
 def _dense(h, kernel, bias, compute_dtype):
+    # f32 compute is the exactness/parity path: request true-f32 MXU passes
+    # (TPU DEFAULT precision for f32 operands is one bf16 pass, which drifts
+    # past parity tolerance over the 13-layer chain — kernels/raymarch.py
+    # applies the same rule, so the Pallas and XLA paths stay matched)
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(compute_dtype) == jnp.float32 else None)
     out = jnp.dot(
         h.astype(compute_dtype),
         kernel.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return out + bias.astype(jnp.float32)
 
