@@ -229,14 +229,18 @@ class BilevelDriver:
                 "%.1f dB (<40) — occupancy bbox/budget is dropping visible "
                 "content", psnr)
 
-    def _check_occ_budget(self, occ_hit: int, occ_budget: int):
+    def _check_occ_budget(self, occ_hit: int, occ_budget: int) -> bool:
         """Budget-overflow guard (ADVICE r2): with culling on, any hit ray
         beyond the static budget silently degrades render quality (the
         22dB failure mode the round-2 bench caught). When tripped, warn
         and RE-CALIBRATE: raise the budget to cover the measured hit count
-        (+ the calibration margin) for subsequent epochs."""
+        (+ the calibration margin). Returns True iff the budget was raised
+        — the caller (run_epoch) then RE-RENDERS the current batch with
+        the new budget instead of training the detector on degraded
+        renders (VERDICT r3 #6: the overflowed epoch itself must not slip
+        through)."""
         if self.grid is None or occ_hit <= occ_budget:
-            return
+            return False
         import logging
 
         # budget_count ~= n_rays * hit_budget, so the measured hit fraction
@@ -245,13 +249,14 @@ class BilevelDriver:
         new_budget = min(1.0, -(-(frac * 1.25) // 0.05) * 0.05)
         logging.getLogger(__name__).warning(
             "occupancy budget overflow: %d hit rays > budget %d — "
-            "visible rays were culled this epoch; raising hit_budget "
-            "%.2f -> %.2f", occ_hit, occ_budget,
-            self.rc_test.hit_budget, new_budget)
+            "raising hit_budget %.2f -> %.2f and re-rendering the epoch",
+            occ_hit, occ_budget, self.rc_test.hit_budget, new_budget)
         if new_budget > self.rc_test.hit_budget:
             self.rc_test = dataclasses.replace(
                 self.rc_test, hit_budget=new_budget)
             self._build_render_fn()
+            return True
+        return False
 
     # ------------------------------------------------------------------ #
     # jitted stage implementations
@@ -504,6 +509,26 @@ class BilevelDriver:
         if self.mesh is not None:
             jax.block_until_ready(x)
 
+    def _do_render(self, psi, noise):
+        """One [1]-phase render call: single-chip direct, or mesh-sharded
+        with K padded up to a multiple of the data axis (edge-repeat) and
+        sliced back."""
+        if self.mesh is None:
+            return self._render_fn(psi, noise)
+        n_data = self.mesh.shape["data"]
+        k_real = jax.tree_util.tree_leaves(noise)[0].shape[0]
+        k_pad = -(-k_real // n_data) * n_data
+        noise_p = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (k_pad - k_real,) + x.shape[1:])]
+            ) if k_pad > k_real else x,
+            noise,
+        )
+        renders, occ_hit, occ_budget = self._render_fn(psi, noise_p)
+        renders = renders[:k_real]
+        self._mesh_barrier(renders)
+        return renders, occ_hit, occ_budget
+
     def run_epoch(self, epoch: int, psi, psi_opt, det_state: DetectorState,
                   save_pngs: bool = False) -> Dict:
         cfg = self.cfg
@@ -514,28 +539,22 @@ class BilevelDriver:
         noise = (draw_pose_noise_gaussian(k_noise, sc)
                  if bc.psi_mode == "gaussian" else draw_pose_noise(k_noise, sc))
         with phase_timer("render"):
-            if self.mesh is None:
-                renders, occ_hit, occ_budget = self._render_fn(psi, noise)
-            else:
-                # pad K up to a multiple of the data axis (edge-repeat),
-                # render sharded, slice the real poses back out
-                n_data = self.mesh.shape["data"]
-                k_real = jax.tree_util.tree_leaves(noise)[0].shape[0]
-                k_pad = -(-k_real // n_data) * n_data
-                noise_p = jax.tree_util.tree_map(
-                    lambda x: jnp.concatenate(
-                        [x, jnp.broadcast_to(x[-1:], (k_pad - k_real,) + x.shape[1:])]
-                    ) if k_pad > k_real else x,
-                    noise,
-                )
-                renders, occ_hit, occ_budget = self._render_fn(psi, noise_p)
-                renders = renders[:k_real]
-                self._mesh_barrier(renders)
+            renders, occ_hit, occ_budget = self._do_render(psi, noise)
         if self.grid is not None:
             # ONE small transfer (two int32s); warn + recalibrate if the
-            # static budget dropped visible rays this epoch (ADVICE r2)
-            hit_np, budget_np = jax.device_get((occ_hit, occ_budget))
-            self._check_occ_budget(int(hit_np.sum()), int(budget_np.sum()))
+            # static budget dropped visible rays this epoch (ADVICE r2).
+            # Containment (VERDICT r3 #6): an overflow means THIS epoch's
+            # renders already dropped visible rays — re-render with the
+            # raised budget before the inner train consumes them. Bounded:
+            # the budget is monotone and capped at 1.0, where occ_hit
+            # (scores>0 count) can no longer exceed it.
+            for _ in range(4):
+                hit_np, budget_np = jax.device_get((occ_hit, occ_budget))
+                if not self._check_occ_budget(int(hit_np.sum()),
+                                              int(budget_np.sum())):
+                    break
+                with phase_timer("render"):
+                    renders, occ_hit, occ_budget = self._do_render(psi, noise)
             if epoch == 0:
                 self._first_epoch_cull_guard(psi, noise, renders)
 

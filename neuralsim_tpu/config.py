@@ -130,8 +130,23 @@ class RenderConfig:
     # routed rays: 64 samples concentrated in a ~1/8-length interval are
     # still ~4x the reference's per-unit-length fine density. Same
     # PSNR-guard discipline as n_samples_culled (the guard, not the
-    # constant, is the contract). None keeps rc.n_importance.
+    # constant, is the contract). None keeps rc.n_importance. 0 selects
+    # SINGLE-PASS production: routed rays march once, uniformly inside
+    # their tightened z-interval, with no coarse/fine split at all — the
+    # occupancy grid replaces the coarse network as the importance
+    # mechanism (the grid-guided-sampling idea of the NerfAcc/Instant-NGP
+    # family, TPU-shaped: one static-shape march, zero sample_pdf/sort).
     n_importance_culled: int | None = None
+    # reuse the coarse network's raw outputs in the fine composite instead
+    # of re-evaluating the coarse sample positions under the fine network:
+    # the fine MLP marches ONLY the n_importance new samples, and the
+    # composite merge-sorts (lax.sort, no gathers) coarse raws with fine
+    # raws in z order. The reference re-evaluates all 64+128 positions with
+    # the fine net (run_nerf_noscale.py:470-486), so this mixes the two
+    # networks' predictions along one ray — NOT bit-exact; PSNR-guarded
+    # like the other production levers. Saves n_samples/(n_samples +
+    # n_importance) of the fine-pass MLP FLOPs.
+    reuse_coarse: bool = False
     # cull scorer: "aabb" (default) = closed-form ray/bbox slab test —
     # zero gathers (the per-sample voxel probe costs ~715ms/pass at 1.28M
     # rays on v5e, measured round 3) with per-ray z bounds from the slab

@@ -77,16 +77,23 @@ def prepare_images(images: np.ndarray, dc: DetectorConfig,
 
 
 def build_detector_batches_device(images, labels: Sequence[int],
-                                  dc: DetectorConfig, max_boxes: int = 4):
+                                  dc: DetectorConfig, max_boxes: int = 4,
+                                  largest_only: bool = False):
     """Device-resident twin of build_detector_batches: renders stay on
     device end-to-end into the detector (no host round trip / relay
-    latency). The box is the bbox of ALL foreground pixels at the same
-    BT.601 threshold the host path uses; for single-object renders whose
-    background is exactly 0, this equals the host path's
-    largest-component box (the paths diverge only when an image has
-    multiple disconnected foreground blobs — the PNG/COCO interop path
-    keeps the exact connected-components semantics)."""
+    latency). Boxes come from exact 8-connected components computed ON
+    DEVICE (ops.components — static-shape segmented-scan labeling), so
+    the path agrees with the host/reference connected-components
+    semantics even on multi-blob frames (VERDICT r3 #5; the previous
+    bbox-of-all-foreground approximation trained on systematically wider
+    boxes there). Slot 0 is the host auto_annotate largest-component box
+    exactly; remaining slots carry the next-largest components (same
+    class label — a rendered frame contains one object class), which the
+    reference's single-box annotation simply drops (neural_sim_main.py:
+    689-690). ``largest_only=True`` restores that reference behavior."""
     import jax.numpy as jnp
+
+    from neuralsim_tpu.ops.components import component_boxes
 
     imgs = jnp.asarray(images)[..., :3]
     n, h, w, _ = imgs.shape
@@ -97,25 +104,14 @@ def build_detector_batches_device(images, labels: Sequence[int],
     u8 = jnp.floor(jnp.clip(imgs, 0.0, 1.0) * 255.0)
     gray = jnp.round(u8 @ jnp.asarray(_LUMA, jnp.float32))
     mask = gray > 1.0                                    # [N, H, W]
-    rows = jnp.any(mask, axis=2)                         # [N, H]
-    cols = jnp.any(mask, axis=1)                         # [N, W]
-    any_fg = jnp.any(rows, axis=1)
 
-    def first_last(m, size):
-        idx = jnp.arange(size, dtype=jnp.int32)
-        first = jnp.min(jnp.where(m, idx, size - 1), axis=1)
-        last = jnp.max(jnp.where(m, idx, 0), axis=1)
-        return first.astype(jnp.float32), last.astype(jnp.float32)
-
-    y0, y1 = first_last(rows, h)
-    x0, x1 = first_last(cols, w)
-    # (x, y, w, h) -> XYXY with the host path's x + w convention (w = last -
-    # first + 1 from component stats)
-    box = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)   # [N, 4]
-    gt_boxes = jnp.zeros((n, max_boxes, 4), jnp.float32).at[:, 0].set(box)
-    gt_labels = jnp.zeros((n, max_boxes), jnp.int32).at[:, 0].set(
-        jnp.asarray(labels, jnp.int32))
-    gt_valid = jnp.zeros((n, max_boxes), bool).at[:, 0].set(any_fg)
+    gt_boxes, gt_valid = component_boxes(mask, max_boxes)
+    if largest_only:
+        gt_valid = gt_valid.at[:, 1:].set(False)
+        gt_boxes = gt_boxes.at[:, 1:].set(0.0)
+    gt_labels = jnp.broadcast_to(
+        jnp.asarray(labels, jnp.int32)[:, None], (n, max_boxes))
+    gt_labels = jnp.where(gt_valid, gt_labels, 0)
     inputs = prepare_images(imgs, dc)
     return inputs, gt_boxes, gt_labels, gt_valid
 

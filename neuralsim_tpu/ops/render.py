@@ -59,16 +59,45 @@ def render_rays(models, rays_o, rays_d, viewdirs, key,
         rc.far if far is None else far,
         perturb=rc.perturb, lindisp=rc.lindisp,
     )
-    rgb_map, disp_map, acc_map, weights, depth_map = _march(
-        models["coarse"], rays_o, rays_d, viewdirs, z_vals, k_noise0,
-        net, rc, compute_dtype,
-    )
+    # coarse-raw reuse (rc.reuse_coarse): keep the coarse network's raw
+    # field values so the fine composite can merge them instead of
+    # re-evaluating those positions under the fine net (the reference
+    # re-marches all 64+128, run_nerf_noscale.py:470-486)
+    use_reuse = (rc.reuse_coarse and rc.n_importance > 0
+                 and rc.fine_fraction >= 1.0)
+    if use_reuse:
+        from neuralsim_tpu.ops.volume import raw2outputs_channels
+
+        sigma_c, rgb3_c = _march_raw(
+            models["coarse"], rays_o, rays_d, viewdirs, z_vals,
+            net, rc, compute_dtype,
+        )
+        rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs_channels(
+            sigma_c, rgb3_c, z_vals, rays_d, key=k_noise0,
+            raw_noise_std=rc.raw_noise_std, white_bkgd=rc.white_bkgd,
+        )
+    else:
+        rgb_map, disp_map, acc_map, weights, depth_map = _march(
+            models["coarse"], rays_o, rays_d, viewdirs, z_vals, k_noise0,
+            net, rc, compute_dtype,
+        )
 
     out = {}
     if rc.n_importance > 0:
         out["rgb0"], out["disp0"], out["acc0"] = rgb_map, disp_map, acc_map
 
-        if rc.fine_fraction < 1.0:
+        if use_reuse:
+            f_out = _fine_pass_reuse(
+                models, rays_o, rays_d, viewdirs, z_vals,
+                sigma_c, rgb3_c, weights, k_pdf, k_noise1, net, rc,
+                compute_dtype,
+            )
+            rgb_map, disp_map, acc_map, depth_map = (
+                f_out["rgb_map"], f_out["disp_map"], f_out["acc_map"],
+                f_out["depth_map"],
+            )
+            out["z_std"] = f_out["z_std"]
+        elif rc.fine_fraction < 1.0:
             # sparse fine pass: only rays that actually hit density get the
             # expensive fine network; background rays keep coarse outputs
             k_sel = max(8, int(round(n_rays * rc.fine_fraction)))
@@ -154,6 +183,31 @@ def _march(params, rays_o, rays_d, viewdirs, z_vals, k_noise,
     )
 
 
+def _march_raw(params, rays_o, rays_d, viewdirs, z_vals,
+               net: NeRFNetConfig, rc: RenderConfig, compute_dtype):
+    """Channel-separated raw field evaluation along rays WITHOUT
+    compositing: (sigma [N,S] raw density, rgb3 [3,N,S] logits).
+
+    Same kernel routing as _march (transposed march kernel on TPU, jnp
+    query_points elsewhere); used by the coarse-raw-reuse fine pass, which
+    needs the raws themselves to merge into the fine composite."""
+    if rc.use_pallas and net.use_viewdirs and net.i_embed != -1:
+        from neuralsim_tpu.kernels.raymarch import (
+            fused_nerf_march,
+            pallas_available,
+        )
+
+        if pallas_available() and rc.fuse_pointgen:
+            return fused_nerf_march(
+                params, rays_o, rays_d, viewdirs, z_vals, net, compute_dtype,
+            )
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = query_points(params, pts, viewdirs, net, compute_dtype,
+                       use_pallas=rc.use_pallas,
+                       pe_projection=rc.pe_projection)
+    return raw[..., 3], jnp.moveaxis(raw[..., :3], -1, 0)
+
+
 def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
                k_pdf, k_noise, net: NeRFNetConfig, rc: RenderConfig,
                compute_dtype):
@@ -170,6 +224,51 @@ def _fine_pass(models, rays_o, rays_d, viewdirs, z_vals, weights,
     rgb_map, disp_map, acc_map, _, depth_map = _march(
         fine_params, rays_o, rays_d, viewdirs, z_all, k_noise,
         net, rc, compute_dtype,
+    )
+    return {
+        "rgb_map": rgb_map, "disp_map": disp_map, "acc_map": acc_map,
+        "depth_map": depth_map, "z_std": jnp.std(z_samples, axis=-1),
+    }
+
+
+def _fine_pass_reuse(models, rays_o, rays_d, viewdirs, z_vals,
+                     sigma_c, rgb3_c, weights, k_pdf, k_noise,
+                     net: NeRFNetConfig, rc: RenderConfig, compute_dtype):
+    """Fine pass that reuses the coarse raws (rc.reuse_coarse).
+
+    The fine network evaluates ONLY the n_importance new samples; the
+    composite runs over the z-merged union of (coarse z, coarse raw) and
+    (fine z, fine raw). The merge is one lax.sort with the raws as payload
+    operands — a bitonic network over S+I ~ 80 lanes, no gathers. vs the
+    reference (run_nerf_noscale.py:470-486) this mixes the two networks'
+    raw predictions along a ray; production PSNR guards the substitution.
+    """
+    from neuralsim_tpu.ops.volume import raw2outputs_channels
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(
+        k_pdf, z_mid, weights[..., 1:-1], rc.n_importance, det=not rc.perturb
+    )
+    z_samples = jax.lax.stop_gradient(z_samples)
+
+    fine_params = models.get("fine") or models["coarse"]
+    sigma_f, rgb3_f = _march_raw(
+        fine_params, rays_o, rays_d, viewdirs, z_samples,
+        net, rc, compute_dtype,
+    )
+
+    z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
+    sig_cat = jnp.concatenate([sigma_c, sigma_f], axis=-1)
+    r_cat = jnp.concatenate([rgb3_c[0], rgb3_f[0]], axis=-1)
+    g_cat = jnp.concatenate([rgb3_c[1], rgb3_f[1]], axis=-1)
+    b_cat = jnp.concatenate([rgb3_c[2], rgb3_f[2]], axis=-1)
+    z_all, sig_all, r_all, g_all, b_all = jax.lax.sort(
+        (z_cat, sig_cat, r_cat, g_cat, b_cat), dimension=-1, num_keys=1
+    )
+    rgb_map, disp_map, acc_map, _, depth_map = raw2outputs_channels(
+        sig_all, jnp.stack([r_all, g_all, b_all]), z_all, rays_d,
+        key=k_noise, raw_noise_std=rc.raw_noise_std,
+        white_bkgd=rc.white_bkgd,
     )
     return {
         "rgb_map": rgb_map, "disp_map": disp_map, "acc_map": acc_map,
@@ -250,7 +349,9 @@ def _render_ray_batch_culled(models, grid, rays_o, rays_d, key,
         overrides = {}
         if rc.n_samples_culled:
             overrides["n_samples"] = rc.n_samples_culled
-        if rc.n_importance_culled and rc.n_importance > 0:
+        if rc.n_importance_culled is not None and rc.n_importance > 0:
+            # 0 = single-pass production: one uniform march inside the
+            # tightened interval, no coarse/fine split (see RenderConfig)
             overrides["n_importance"] = rc.n_importance_culled
         if overrides:
             rc_sel = dataclasses.replace(rc, **overrides)

@@ -255,10 +255,61 @@ def test_occ_budget_guard_recalibrates(driver, caplog):
     drv._check_occ_budget(occ_hit=10, occ_budget=100)      # under budget
     assert drv.rc_test.hit_budget == calibrated
 
+    # force a low budget so the raise is observable (calibration on this
+    # diffuse random-init scene typically lands at 1.0 already)
+    drv.rc_test = dataclasses.replace(drv.rc_test, hit_budget=0.25)
     with caplog.at_level(logging.WARNING):
-        drv._check_occ_budget(occ_hit=10 ** 6, occ_budget=100)
+        raised = drv._check_occ_budget(occ_hit=10 ** 6, occ_budget=100)
+    assert raised is True
     assert "budget overflow" in caplog.text
     assert drv.rc_test.hit_budget == 1.0  # huge overflow -> clamped full
+    # at 1.0 nothing can overflow -> containment loop terminates
+    assert drv._check_occ_budget(occ_hit=10 ** 6, occ_budget=10 ** 6) is False
+
+
+def test_occ_overflow_epoch_is_contained(driver):
+    """VERDICT r3 #6 done-condition: a forced overflow epoch does NOT train
+    the detector on degraded renders — run_epoch re-renders the SAME batch
+    with the raised budget before the inner train consumes it. With pure
+    culling (no tightening) the re-rendered batch is bit-exact vs the
+    dense render, so the first-epoch guard PSNR must be ~lossless."""
+    import tempfile
+
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.trainer import init_detector
+
+    cfg = dataclasses.replace(
+        driver.cfg,
+        render=dataclasses.replace(driver.cfg.render, hit_budget=0.25,
+                                   tighten_bounds=False),
+    )
+    drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
+                        key=jax.random.PRNGKey(31), object_class=0,
+                        output_dir=tempfile.mkdtemp())
+    # sabotage the calibrated budget: far below the true hit fraction of
+    # the diffuse random-init scene -> the first render MUST overflow
+    drv.rc_test = dataclasses.replace(drv.rc_test, hit_budget=0.05)
+    drv._build_render_fn()
+
+    calls = []
+    orig = drv._do_render
+
+    def spy(psi, noise):
+        out = orig(psi, noise)
+        calls.append(out)
+        return out
+
+    drv._do_render = spy
+    psi0 = psi_init("uniform")
+    popt = psi_optimizer_init("sgd", 1e-3)
+    det = init_detector(jax.random.PRNGKey(32), driver.cfg.detector)
+    drv.run_epoch(0, psi0, popt, det, save_pngs=False)
+
+    assert len(calls) >= 2, "overflow did not trigger a re-render"
+    assert drv.rc_test.hit_budget > 0.05
+    # the renders the detector trained on (last re-render) pass the guard
+    assert drv.last_cull_psnr > 40.0, drv.last_cull_psnr
 
 
 def test_evaluate_jitted_matches_eager_with_tail(driver):
