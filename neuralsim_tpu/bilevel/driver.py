@@ -724,7 +724,10 @@ class BilevelDriver:
                     cfg.net, rc_grad, cfg.sampler, psi_mode=bc.psi_mode,
                     strip=bc.grad_ray_chunk,
                     jit_cache=self._strip_grad_cache,
+                    image_batch=bc.strip_image_batch,
+                    mesh=self.mesh,
                 )
+                self._mesh_barrier(grad_psi)
             else:
                 # host-side grouping: grad over all images = weighted mean
                 # of per-group grads (psi_outer_loss is a mean over images)

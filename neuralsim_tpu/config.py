@@ -321,6 +321,14 @@ class BilevelConfig:
     # differentiated render programs beyond ~4 image-tiles trip the same
     # backend RET_CHECK; grouping keeps each compiled program small
     grad_image_batch: int = 4
+    # strips mode: images folded into ONE strip program (one ray tile of
+    # strip_image_batch * grad_ray_chunk rays) — the same v5e-green
+    # scan-free single-tile shape, B-fold fewer dispatches over the
+    # ~200ms-latency relay (the 400^2/100-image scaling fix, VERDICT r3
+    # #2). 1 = the round-2/3 proven one-image-per-program shape. On a
+    # mesh the driver rounds this up to the data-axis size and shards the
+    # batch across chips.
+    strip_image_batch: int = 1
 
 
 # --------------------------------------------------------------------------- #

@@ -142,18 +142,59 @@ def psi_strip_loss(models, psi, noise_1: PoseNoise, grad_E_strip, start: int,
     return jnp.sum(out["rgb_map"] * grad_E_strip)
 
 
+def psi_strips_batch_loss(models, psi, noise_b: PoseNoise, grad_E_strips,
+                          start: int, H: int, W: int, K,
+                          net: NeRFNetConfig, rc: RenderConfig,
+                          sc: SamplerConfig, psi_mode: str = "categorical"):
+    """Sum over a BATCH of images of one pixel strip's <render, grad_E>.
+
+    The batched generalization of psi_strip_loss: ``noise_b`` carries B
+    pose-noise rows, ``grad_E_strips`` is [B, S, 3], and the B strips are
+    flattened into ONE ray tile (caller sets rc.ray_chunk = B*S) — still a
+    single scan-free statically-sliced program, the v5e-green shape, but
+    with B fewer host dispatches per strip index. Exact: the outer loss is
+    linear in pixels AND a plain sum over images (the caller divides by
+    n_img once)."""
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.render import render_ray_batch
+
+    poses = psi_poses(psi, noise_b, sc, psi_mode)            # [B, 4, 4]
+    ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m[:3, :4]))(poses)
+    b, s = grad_E_strips.shape[0], grad_E_strips.shape[1]
+    ro = ro.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
+    rd = rd.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
+    out = render_ray_batch(models, ro, rd, None, net, rc)
+    return jnp.sum(out["rgb_map"] * grad_E_strips.reshape(-1, 3))
+
+
 def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
                            H: int, W: int, K, net: NeRFNetConfig,
                            rc: RenderConfig, sc: SamplerConfig,
                            psi_mode: str = "categorical",
                            strip: int | None = None,
-                           jit_cache: dict | None = None):
+                           jit_cache: dict | None = None,
+                           image_batch: int = 1,
+                           mesh=None):
     """dL/dpsi = mean over images of sum over pixel strips of strip grads.
 
-    Host loop over (image, strip); every compiled program is one scan-free
-    single-tile reverse-mode render — the robust shape on the current v5e
-    backend. Mathematically exact (linearity in pixels; mean over images
-    mirrors the reference's normalization, neural_sim_main.py:191).
+    Host loop over (image batch, strip); every compiled program is one
+    scan-free single-tile reverse-mode render — the robust shape on the
+    current v5e backend. Mathematically exact (linearity in pixels; mean
+    over images mirrors the reference's normalization,
+    neural_sim_main.py:191).
+
+    ``image_batch`` > 1 folds that many images' strips into ONE program
+    (one ray tile of image_batch*strip rays): same green shape, B-fold
+    fewer dispatches over the high-latency relay — the round-3 verdict's
+    400^2 scaling concern. The image tail is padded with repeated noise +
+    ZERO grad_E (exact: the loss is linear in grad_E).
+
+    ``mesh``: with a ('data', ...) jax.sharding.Mesh, the image batch is
+    additionally sharded over the data axis via shard_map — each chip
+    renders/differentiates its own image subset (the same embarrassing
+    parallelism as the forward render) and the psi cotangent is psum-ed by
+    the shard_map transpose. image_batch is rounded up to a multiple of
+    the axis size.
 
     ``jit_cache``: optional dict reused across calls/epochs so the strip
     program compiles once.
@@ -179,31 +220,107 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
     cache = jit_cache if jit_cache is not None else {}
     leaf = jax.tree_util.tree_leaves(models)[0]
 
-    def strip_fn(start: int, s: int):
-        # one compiled program per (start, length); the tail strip is its
-        # own (smaller) program — no padding, no dynamic offsets
-        key = ("strip_grad", start, s, H, W, psi_mode)
+    ib = max(1, int(image_batch))
+    n_data = 1
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        ib = -(-max(ib, n_data) // n_data) * n_data
+
+    if ib == 1:
+        def strip_fn(start: int, s: int):
+            # one compiled program per (start, length); the tail strip is
+            # its own (smaller) program — no padding, no dynamic offsets
+            key = ("strip_grad", start, s, H, W, psi_mode)
+            entry = cache.get(key)
+            if entry is None or entry[0] is not leaf:
+                rc_strip = dataclasses.replace(
+                    rc, remat=False, pe_projection=False,
+                    compute_dtype="float32", ray_chunk=s, use_pallas=False)
+                program = jax.jit(
+                    lambda p, nz, ge: jax.grad(
+                        lambda pp: psi_strip_loss(models, pp, nz, ge, start,
+                                                  H, W, K, net, rc_strip, sc,
+                                                  psi_mode)
+                    )(p)
+                )
+                cache[key] = (leaf, program)
+            return cache[key][1]
+
+        total = jnp.zeros_like(psi)
+        for i in range(n_img):
+            noise_1 = jax.tree_util.tree_map(lambda x: x[i:i + 1], noise)
+            for si in range(n_strips):
+                start = si * strip
+                s = min(strip, n_pix - start)
+                ge = ge_flat[i, start:start + s]
+                total = total + strip_fn(start, s)(psi, noise_1, ge)
+        return total / n_img
+
+    def batch_fn(start: int, s: int):
+        key = ("strip_grad_batch", start, s, ib, H, W, psi_mode, n_data)
         entry = cache.get(key)
         if entry is None or entry[0] is not leaf:
             rc_strip = dataclasses.replace(
                 rc, remat=False, pe_projection=False,
-                compute_dtype="float32", ray_chunk=s, use_pallas=False)
-            program = jax.jit(
-                lambda p, nz, ge: jax.grad(
-                    lambda pp: psi_strip_loss(models, pp, nz, ge, start, H,
-                                              W, K, net, rc_strip, sc,
-                                              psi_mode)
-                )(p)
-            )
+                compute_dtype="float32", ray_chunk=(ib // n_data) * s,
+                use_pallas=False)
+
+            def batch_loss(pp, nz, ge):
+                return psi_strips_batch_loss(models, pp, nz, ge, start, H, W,
+                                             K, net, rc_strip, sc, psi_mode)
+
+            if mesh is None:
+                program = jax.jit(
+                    lambda p, nz, ge: jax.grad(
+                        lambda pp: batch_loss(pp, nz, ge))(p))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from neuralsim_tpu.parallel.mesh import shard_map_compat
+
+                # per-shard local strip loss; the shard_map transpose
+                # psums the replicated-psi cotangent across chips
+                sharded = shard_map_compat(
+                    lambda p_, nz_l, ge_l: batch_loss(p_, nz_l,
+                                                      ge_l).reshape(1),
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"),
+                )
+                program = jax.jit(
+                    lambda p, nz, ge: jax.grad(
+                        lambda pp: jnp.sum(sharded(pp, nz, ge)))(p))
             cache[key] = (leaf, program)
         return cache[key][1]
 
+    def pad_batch(tree, ge, lo: int, hi: int):
+        """Slice images [lo:hi], pad to ib with repeated noise rows and
+        zero grad_E (zero cotangent -> exactly zero contribution)."""
+        pad = ib - (hi - lo)
+        nz = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x[lo:hi]] + ([jnp.broadcast_to(x[hi - 1:hi],
+                                                (pad,) + x.shape[1:])]
+                              if pad else []), axis=0),
+            tree)
+        ge_b = jnp.concatenate(
+            [ge] + ([jnp.zeros((pad,) + ge.shape[1:], ge.dtype)]
+                    if pad else []), axis=0)
+        return nz, ge_b
+
     total = jnp.zeros_like(psi)
-    for i in range(n_img):
-        noise_1 = jax.tree_util.tree_map(lambda x: x[i:i + 1], noise)
+    for lo in range(0, n_img, ib):
+        hi = min(lo + ib, n_img)
         for si in range(n_strips):
             start = si * strip
             s = min(strip, n_pix - start)
-            ge = ge_flat[i, start:start + s]
-            total = total + strip_fn(start, s)(psi, noise_1, ge)
+            nz, ge_b = pad_batch(noise, ge_flat[lo:hi, start:start + s],
+                                 lo, hi)
+            g = batch_fn(start, s)(psi, nz, ge_b)
+            if mesh is not None:
+                # XLA:CPU collective rendezvous needs all shard threads of
+                # ONE program at once — drain before the next dispatch
+                # (see BilevelDriver._mesh_barrier)
+                jax.block_until_ready(g)
+            total = total + g
     return total / n_img

@@ -430,11 +430,32 @@ def _reshape_maps(out: Dict[str, jnp.ndarray], lead) -> Dict[str, jnp.ndarray]:
             for k, v in out.items()}
 
 
+def apply_ndc(rays_o, rays_d, H: int, W: int, K, rc: RenderConfig,
+              grid=None):
+    """rc.ndc handling at the image/pose entry points (the reference
+    applies it inside render(), run_nerf_noscale.py:105-112): project rays
+    to NDC space and override the z range to the NDC [0, 1]. Returns
+    (rays_o, rays_d, rc'). The occupancy grid lives in WORLD space, so
+    culling + NDC cannot compose."""
+    import dataclasses
+
+    from neuralsim_tpu.ops.rays import ndc_rays
+
+    if not rc.ndc:
+        return rays_o, rays_d, rc
+    if grid is not None:
+        raise ValueError("rc.ndc and occupancy culling cannot combine: the "
+                         "grid is in world space, NDC rays are not")
+    rays_o, rays_d = ndc_rays(H, W, float(K[0][0]), 1.0, rays_o, rays_d)
+    return rays_o, rays_d, dataclasses.replace(rc, near=0.0, far=1.0)
+
+
 def render_image(models, c2w, H: int, W: int, K, key,
                  net: NeRFNetConfig, rc: RenderConfig,
                  grid=None) -> Dict[str, jnp.ndarray]:
     """Render one full image from a camera-to-world matrix."""
     rays_o, rays_d = get_rays(H, W, K, c2w)
+    rays_o, rays_d, rc = apply_ndc(rays_o, rays_d, H, W, K, rc, grid)
     out = render_ray_batch(
         models, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), key, net, rc,
         grid=grid,
@@ -455,6 +476,7 @@ def render_poses(models, c2ws, H: int, W: int, K, key,
     """
     p = c2ws.shape[0]
     ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m))(c2ws)
+    ro, rd, rc = apply_ndc(ro, rd, H, W, K, rc, grid)
     out = render_ray_batch(
         models, ro.reshape(-1, 3), rd.reshape(-1, 3), key, net, rc,
         grid=grid,

@@ -85,6 +85,40 @@ def train_step(state: TrainState, rays_o, rays_d, target_rgb, key,
     return TrainState(params, opt_state, state.step + 1), metrics
 
 
+class RayPool(NamedTuple):
+    """All train-image rays flattened: the reference's use_batching pool
+    (run_nerf_noscale.py:604-621), built ONCE on device instead of a host
+    numpy stack+shuffle."""
+
+    rays_o: jnp.ndarray   # [M, 3]
+    rays_d: jnp.ndarray   # [M, 3]
+    rgb: jnp.ndarray      # [M, 3]
+
+
+def build_ray_pool(images, poses, i_train, H: int, W: int, K) -> RayPool:
+    """Flatten every training image's rays into one pool (device arrays)."""
+    idx = jnp.asarray(i_train)
+    p = jnp.asarray(poses)[idx]
+    ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m[:3, :4]))(p)
+    rgb = jnp.asarray(images)[idx][..., :3]
+    return RayPool(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                   rgb.astype(ro.dtype).reshape(-1, 3))
+
+
+def make_pool_sampler(n_rand: int):
+    """One jitted gather: (pool, perm, start) -> the next n_rand rays.
+    ``start`` is traced (dynamic_slice), so every batch offset reuses ONE
+    compiled program — the device-side replacement for the reference's
+    host-tensor slicing (run_nerf_noscale.py:644-655)."""
+
+    @jax.jit
+    def take(pool: RayPool, perm, start):
+        idx = jax.lax.dynamic_slice(perm, (start,), (n_rand,))
+        return pool.rays_o[idx], pool.rays_d[idx], pool.rgb[idx]
+
+    return take
+
+
 def sample_image_rays(key, image, pose, H: int, W: int, K, n_rand: int,
                       precrop_frac: Optional[float] = None):
     """Sample n_rand pixel rays from one image (the reference's no_batching
@@ -130,6 +164,11 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
     key = key if key is not None else jax.random.PRNGKey(0)
     cam = dataset.camera
     rc_train = dataclasses.replace(rc, near=cam.near, far=cam.far)
+    if rc_train.ndc:
+        # NDC projection happens at ray-sampling time (reference applies it
+        # inside render(), run_nerf_noscale.py:105-112); the march then
+        # runs over the NDC z range [0, 1]
+        rc_train = dataclasses.replace(rc_train, near=0.0, far=1.0)
     if state is None:
         state = init_train_state(key, net, rc_train, tc)
 
@@ -145,19 +184,50 @@ def train_nerf(dataset, net: NeRFNetConfig, rc: RenderConfig, tc: TrainConfig,
 
     i_train = dataset.i_split[0]
     n_iters = n_iters if n_iters is not None else tc.n_iters
+
+    use_batching = not tc.no_batching
+    if use_batching:
+        # cross-image ray shuffle (reference use_batching,
+        # run_nerf_noscale.py:604-621, 644-655): all train rays in one
+        # device pool; a device-side permutation replaces the numpy
+        # shuffle, consumed n_rand at a time and redrawn each epoch.
+        # Deviation: the reference feeds one PARTIAL batch at each epoch
+        # boundary (it slices past the end); static shapes here reshuffle
+        # instead — every batch is full, no ray is ever dropped twice.
+        pool = build_ray_pool(dataset.images, dataset.poses, i_train,
+                              cam.height, cam.width, cam.K)
+        m = pool.rays_o.shape[0]
+        n_take = min(tc.n_rand, m)
+        take_fn = make_pool_sampler(n_take)
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, m)
+        i_batch = 0
+
     # global-step base for the hook: a restored state carries its step, so
     # periodic artifacts continue the checkpoint's numbering (ADVICE r2)
     start_step = int(state.step)
     metrics = {}
     for it in range(n_iters):
         key, k_img, k_pix, k_render = jax.random.split(key, 4)
-        img_idx = int(jax.random.choice(k_img, jnp.array(i_train)))
-        precrop = tc.precrop_frac if it < tc.precrop_iters else None
-        ro, rd, tgt = sample_image_rays(
-            k_pix, jnp.asarray(dataset.images[img_idx]),
-            jnp.asarray(dataset.poses[img_idx]),
-            cam.height, cam.width, cam.K, tc.n_rand, precrop,
-        )
+        if use_batching:
+            if i_batch + n_take > m:
+                perm = jax.random.permutation(k_pix, m)
+                i_batch = 0
+            ro, rd, tgt = take_fn(pool, perm, jnp.asarray(i_batch, jnp.int32))
+            i_batch += n_take
+        else:
+            img_idx = int(jax.random.choice(k_img, jnp.array(i_train)))
+            precrop = tc.precrop_frac if it < tc.precrop_iters else None
+            ro, rd, tgt = sample_image_rays(
+                k_pix, jnp.asarray(dataset.images[img_idx]),
+                jnp.asarray(dataset.poses[img_idx]),
+                cam.height, cam.width, cam.K, tc.n_rand, precrop,
+            )
+        if rc_train.ndc:
+            from neuralsim_tpu.ops.rays import ndc_rays
+
+            ro, rd = ndc_rays(cam.height, cam.width, float(cam.K[0][0]),
+                              1.0, ro, rd)
         if mesh is not None:
             ro, rd, tgt = (jax.device_put(x, ray_sh) for x in (ro, rd, tgt))
         state, metrics = step_fn(state, ro, rd, tgt, k_render)

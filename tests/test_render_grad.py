@@ -141,3 +141,54 @@ def test_strips_accept_numpy_leaves(scene):
     render_grad_psi_strips(models_np, psi, noise, grad_E, H, W, K, NET, RC,
                            SC, strip=H * W, jit_cache=cache)
     assert len(cache) == n
+
+
+def test_strips_image_batch_matches_serial(scene):
+    """image_batch > 1 (round-4 dispatch-count lever, VERDICT r3 #2) is
+    EXACTLY the serial one-image-per-program gradient — including a padded
+    image tail (3 images at batch 2) and a padded strip tail."""
+    models, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32).at[4].set(1.0)
+    noise = draw_pose_noise(jax.random.PRNGKey(7), SC, num_k=3)
+
+    g_serial = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=64))
+    for ib in (2, 3, 8):
+        g_b = np.asarray(render_grad_psi_strips(
+            models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=64,
+            image_batch=ib))
+        np.testing.assert_allclose(g_b, g_serial, rtol=1e-5, atol=1e-8,
+                                   err_msg=f"image_batch={ib}")
+
+
+def test_strips_mesh_sharding_invariance(scene):
+    """Mesh-sharded strips gradient (shard_map over the data axis) equals
+    the serial host-loop gradient — the VERDICT r3 #2 done-condition."""
+    from neuralsim_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(data=8, model=1)
+
+    models, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32).at[2].set(0.5)
+    noise = draw_pose_noise(jax.random.PRNGKey(8), SC, num_k=3)
+
+    g_serial = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=64))
+    # 3 images pad to the 8-wide data axis (zero grad_E on padded rows)
+    g_mesh = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=64,
+        mesh=mesh))
+    np.testing.assert_allclose(g_mesh, g_serial, rtol=1e-5, atol=1e-8)
+
+    # gaussian psi parameterization through the mesh path too
+    psi_g = jnp.array([157.5, 20.0], jnp.float32)
+    noise_g = draw_pose_noise_gaussian(jax.random.PRNGKey(9), SC, num_k=3)
+    g_serial_g = np.asarray(render_grad_psi_strips(
+        models, psi_g, noise_g, grad_E, H, W, K, NET, RC, SC,
+        psi_mode="gaussian", strip=H * W))
+    g_mesh_g = np.asarray(render_grad_psi_strips(
+        models, psi_g, noise_g, grad_E, H, W, K, NET, RC, SC,
+        psi_mode="gaussian", strip=H * W, mesh=mesh))
+    np.testing.assert_allclose(g_mesh_g, g_serial_g, rtol=1e-5, atol=1e-8)
