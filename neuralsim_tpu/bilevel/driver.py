@@ -296,16 +296,20 @@ class BilevelDriver:
         )
 
     def _unrolled_impl(self, det_state0, renders, labels, batch_key):
-        """True unrolled dL_val/dI (bc.hypergrad_mode == "unrolled")."""
+        """True unrolled dL_val/dI (bc.hypergrad_mode == "unrolled").
+
+        Backgrounds (the reference's mixed dataset, neural_sim_main.py:
+        729-781) ride along as constant entries: the recomputed schedule
+        spans renders + backgrounds in the driver's concatenation order
+        with the same key, so it matches the trained trajectory; only the
+        renders carry image-cotangents (VERDICT r3 #8)."""
         from neuralsim_tpu.hypergrad.unrolled import unrolled_grad_images
 
-        if self.background_images is not None:
-            raise ValueError(
-                "unrolled hypergradient requires background_images=None: "
-                "the recomputed batch schedule must match the trained one")
         return unrolled_grad_images(
             self.det_apply, det_state0, renders, labels, self.val_data,
-            self.cfg.detector, self.anchors_cat, batch_key)
+            self.cfg.detector, self.anchors_cat, batch_key,
+            background_images=self.background_images,
+            background_labels=self.background_labels)
 
     def _det_loss_trainable(self, trainable, frozen, batch: DetBatch,
                             image_weight=None):

@@ -51,7 +51,8 @@ def val_loss_sum(det_apply, params, val_data, dc: DetectorConfig,
 
 def unrolled_grad_images(det_apply, det_state0: DetectorState, images,
                          labels, val_data, dc: DetectorConfig, anchors_cat,
-                         batch_key):
+                         batch_key, background_images=None,
+                         background_labels=None):
     """d val_loss(inner_train(det_state0, batches(images))) / d images.
 
     Args:
@@ -60,13 +61,33 @@ def unrolled_grad_images(det_apply, det_state0: DetectorState, images,
       images: [N, H, W, 3] rendered images in [0, 1].
       batch_key: the SAME key the forward inner train used for
         cycle_batches, so the recomputed schedule is identical.
+      background_images/labels: optional mixed-dataset backgrounds
+        (the reference's create_dataset merges background classes,
+        ``neural_sim_main.py:729-781``). They enter the recomputed
+        schedule as CONSTANT dataset entries appended AFTER the renders
+        (the driver's concatenation order), participate in every batch
+        the schedule assigns them to, and receive zero image-cotangent
+        (stop_gradient) — the returned gradient covers the renders only.
+        With backgrounds, annotation is single-box (largest component),
+        matching the host batch-build the mixed trajectory trained on.
 
     Returns [N, H, W, 3] — the true dL_val/dI the influence path
     approximates.
     """
+    has_bg = background_images is not None
+    bg_const = None
+    if has_bg:
+        bg_const = build_detector_batches_device(
+            jax.lax.stop_gradient(jnp.asarray(background_images)),
+            list(background_labels), dc, largest_only=True)
 
     def loss_of_images(imgs):
-        inputs, gb, gl, gv = build_detector_batches_device(imgs, labels, dc)
+        inputs, gb, gl, gv = build_detector_batches_device(
+            imgs, labels, dc, largest_only=has_bg)
+        if has_bg:
+            inputs, gb, gl, gv = (
+                jnp.concatenate([a, b], axis=0)
+                for a, b in zip((inputs, gb, gl, gv), bg_const))
         # gather-by-index batches: the backward accumulates per-step image
         # cotangents into the dataset by scatter-add instead of holding a
         # [n_steps x batch] stack of image cotangents (identical schedule —

@@ -164,3 +164,86 @@ def test_driver_unrolled_epoch(setup):
     rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
     assert np.isfinite(rec["grad_psi"]).all()
     assert rec["grad_psi"].shape == (8,)
+
+
+def test_unrolled_with_backgrounds_fd(setup):
+    """VERDICT r3 #8: backgrounds enter the recomputed schedule as constant
+    entries (zero image-cotangent, renders-first order). The returned
+    gradient must equal the jvp of the mixed-dataset loss."""
+    det_apply, det0, imgs, labels, val, anchors_cat, key = setup
+    prng = np.random.RandomState(11)
+    bg = np.clip(0.3 + 0.2 * prng.randn(2, 32, 32, 3), 0.05, 1.0
+                 ).astype(np.float32)
+    bg_labels = [1, 0]
+
+    g = np.asarray(unrolled_grad_images(
+        det_apply, det0, imgs, labels, val, DC, anchors_cat, key,
+        background_images=bg, background_labels=bg_labels))
+    assert g.shape == imgs.shape and np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+    # independent mixed-dataset loss (renders differentiable, bg constant)
+    bg_batches = build_detector_batches_device(jnp.asarray(bg), bg_labels,
+                                               DC, largest_only=True)
+
+    def f(ims):
+        parts = build_detector_batches_device(ims, labels, DC,
+                                              largest_only=True)
+        inputs, gb, gl, gv = (jnp.concatenate([a, b], 0)
+                              for a, b in zip(parts, bg_batches))
+        batches = cycle_batches(inputs, gb, gl, gv, DC.max_iter,
+                                DC.images_per_batch, key)
+        final, _ = inner_train(det0, batches, DC, anchors_cat, remat=True)
+        return val_loss_sum(det_apply, final.params, val, DC, anchors_cat)
+
+    rng = np.random.RandomState(8)
+    d = np.zeros_like(np.asarray(imgs))
+    d[0, 8:18, 8:18] = rng.randn(10, 10, 3)
+    d[2, 4:10, 16:28] = rng.randn(6, 12, 3)
+    d = jnp.asarray(d / np.linalg.norm(d))
+    _, jvp_val = jax.jvp(jax.jit(f), (imgs,), (d,))
+    analytic = float(jnp.sum(jnp.asarray(g) * d))
+    np.testing.assert_allclose(analytic, float(jvp_val), rtol=5e-3,
+                               atol=1e-7)
+
+
+def test_driver_unrolled_epoch_with_backgrounds(setup):
+    """Driver end-to-end: hypergrad_mode='unrolled' now runs the
+    reference's mixed-dataset configuration (backgrounds merged into the
+    inner-train schedule, neural_sim_main.py:729-781)."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "tests")
+    from test_bilevel_e2e import tiny_cfg
+
+    from neuralsim_tpu.bilevel.driver import BilevelDriver, ValData
+    from neuralsim_tpu.bilevel.psi_init import psi_init
+    from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
+    from neuralsim_tpu.detector.dataset import build_detector_batches
+    from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, bilevel=dataclasses.replace(cfg.bilevel,
+                                         hypergrad_mode="unrolled"))
+    key = jax.random.PRNGKey(0)
+    models = init_nerf_pipeline_params(key, cfg.net, cfg.render.n_importance)
+    val_imgs = np.zeros((2, 32, 32, 3), np.float32)
+    val_imgs[0, 8:20, 8:20] = 0.9
+    val_imgs[1, 12:28, 4:16] = 0.7
+    vi, vb, vl, vv = build_detector_batches(val_imgs, [0, 1], cfg.detector)
+    val = ValData(vi, vb, vl, vv)
+    prng = np.random.RandomState(5)
+    bg = np.clip(0.4 + 0.2 * prng.randn(2, cfg.camera.height,
+                                        cfg.camera.width, 3),
+                 0.05, 1.0).astype(np.float32)
+    drv = BilevelDriver(cfg, models, val, key=key, object_class=0,
+                        background_images=bg, background_labels=[1, 1],
+                        output_dir=tempfile.mkdtemp())
+    psi0 = psi_init(cfg.bilevel.psi_pose_cats_mode)
+    popt = psi_optimizer_init(cfg.bilevel.opt_method, cfg.bilevel.opt_lr)
+    det = init_detector(jax.random.PRNGKey(2), cfg.detector)
+    rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
+    assert np.isfinite(rec["grad_psi"]).all()
+    assert rec["grad_psi"].shape == (8,)
