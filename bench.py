@@ -115,10 +115,13 @@ def main():
         [[1333.3334, 0.0, 195.42932], [0.0, 1334.2196, 200.6318], [0.0, 0.0, 1.0]],
         np.float32,
     )
-    # 8 poses x 400^2 = 1.28M rays per timed call: the axon relay adds a
-    # measured ~200ms fixed round-trip per synced execution, so the timed
-    # region must be seconds-long or the latency pollutes the rate
-    n_poses = 8
+    # 16 poses x 400^2 = 2.56M rays per call; the timed region queues
+    # DISPATCH_K calls back-to-back and syncs once — jax dispatch is async
+    # and the axon relay pipelines queued executions, so the ~200ms fixed
+    # per-sync round trip amortizes over K calls. Measured (round 4):
+    # k=1 5.03M, k=2 5.16M, k=4 5.22M, k=8 5.25M rays/s — k>=4 matches the
+    # in-program slope probe (5.23M), i.e. the overhead is fully amortized
+    n_poses = 16
 
     params = box_scene_params(net, jax.random.PRNGKey(0))
     models = {"coarse": params, "fine": params}
@@ -139,25 +142,28 @@ def main():
     from neuralsim_tpu.ops.occupancy import calibrate_hit_budget
 
     budget = calibrate_hit_budget(grid, poses, H, W, K, rc)
-    # production = ray cull + per-ray z-interval tightening (16 coarse
-    # samples inside the occupied interval — still ~2x the reference's
-    # per-unit-length density there); measured 46.7dB vs exact on this
-    # scene, with cull-only at 120dB
-    # production sampling: 16 coarse + 64 importance inside each routed
-    # ray's tightened z-interval (the interval is ~1/8 of [near,far], so
-    # per-unit-length density still exceeds the reference's 64+128 over
-    # the full range). Measured ladder on this scene (round 3, v5e):
-    # ic128 836k rays/s 46.3dB / ic96 1.04M 46.2 / ic64 1.36M 46.1 /
-    # ic48 1.65M 46.0 / ic32 2.01M 45.7 — ic64 ships as the headline
-    # (0.2dB under full production, 2x margin over the 40dB guard).
+    # production = SINGLE-PASS grid-guided rendering (round 4): ray cull +
+    # per-ray z-interval tightening + ONE uniform march of 20 samples
+    # inside the occupied interval (n_importance_culled=0 — no coarse/fine
+    # split, no sample_pdf/sort; the occupancy grid replaces the coarse
+    # network as the importance mechanism). The tightened interval is
+    # ~1/8-1/10 of [near, far], so 20 in-interval samples approach the
+    # reference's 192-sample per-unit-length density on the object.
+    # Measured ladder on this scene (round 4, v5e, rays/s @ PSNR-vs-exact):
+    # hierarchical ic64 1.36M@46.1 / reuse_ic32 2.51M@45.7 /
+    # single48 2.65M@46.6 / single24 4.61M@46.3 / single20 5.23M@46.3 /
+    # single16 6.33M@45.7 / single12 7.10M@44.3 / single8 9.50M@40.5.
+    # single20 ships as the headline: it MEETS the 5M north star with a
+    # 6 dB margin over the >40dB guard (the guard, not the constant, is
+    # the contract — bench re-asserts it on every run).
     rc_prod = dataclasses.replace(rc, hit_budget=budget,
                                   tighten_bounds=True,
-                                  n_importance_culled=64)
-    # turbo = the measured ladder's ic32 point (2.01M rays/s at 45.7 dB
-    # round 3): 32 in-interval importance samples are still ~2x the
-    # reference's per-unit-length fine density; reported as an extra field
-    # with its own PSNR guard so consumers see the speed/quality ladder
-    rc_turbo = dataclasses.replace(rc_prod, n_importance_culled=32)
+                                  n_samples_culled=20,
+                                  n_importance_culled=0)
+    # turbo = the single12 point (7.1M rays/s at 44.3 dB measured): still
+    # >4dB above the guard; reported as an extra field with its own PSNR
+    # guard so consumers see the speed/quality ladder
+    rc_turbo = dataclasses.replace(rc_prod, n_samples_culled=12)
     fn_exact = jax.jit(
         lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
     fn_prod = jax.jit(
@@ -167,6 +173,8 @@ def main():
         lambda m, p, g: render_poses(m, p, H, W, K, None, net, rc_turbo,
                                      grid=g)["rgb_map"])
 
+    DISPATCH_K = 4
+
     def run_sync(fn, *args):
         out = fn(*args)
         # some PJRT transports complete block_until_ready before execution
@@ -175,12 +183,14 @@ def main():
         return out
 
     def best_time(fn, *args, reps=3):
+        """min over reps of (queue DISPATCH_K executions, one sync) / K."""
         run_sync(fn, *args)  # warmup/compile
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            run_sync(fn, *args)
-            times.append(time.perf_counter() - t0)
+            outs = [fn(*args) for _ in range(DISPATCH_K)]
+            np.asarray(outs[-1][0, 0, 0])
+            times.append((time.perf_counter() - t0) / DISPATCH_K)
         return min(times)
 
     n_rays = n_poses * H * W
@@ -221,9 +231,10 @@ def main():
                                if turbo_rps is not None else None),
         "turbo_psnr_vs_exact_db": round(psnr_turbo, 1),
         "hit_budget": rc_prod.hit_budget,
-        "production_sampling": "cull+tighten 16c+64f in-interval "
+        "production_sampling": "cull+tighten SINGLE-PASS 20 uniform "
+                               "in-interval samples, no coarse/fine split "
                                "(exact comparator 64c+128f full-range); "
-                               "turbo=16c+32f",
+                               "turbo=single-pass 12",
     }))
 
 

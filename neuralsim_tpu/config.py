@@ -160,6 +160,22 @@ class RenderConfig:
         """No jitter, no noise — reference render_kwargs_test (run_nerf_noscale.py:336-338)."""
         return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
 
+    def production_mode(self, n_samples: int = 20,
+                        hit_budget_floor: float = 0.25) -> "RenderConfig":
+        """The measured-fastest >40dB data-generation preset (round 4,
+        v5e): occupancy cull + per-ray z tightening + SINGLE-PASS march
+        (n_importance_culled=0) at ``n_samples`` uniform samples inside
+        the tightened interval. Measured ladder on the bench scene at
+        400^2 (rays/s per chip, PSNR vs exact): 24->4.61M@46.3, 20->
+        5.23M@46.3, 16->6.33M@45.7, 12->7.10M@44.3, 8->9.50M@40.5.
+        ``hit_budget_floor`` is a floor only — the driver re-calibrates
+        against the actual scene (calibrate_hit_budget) and the >40dB
+        first-epoch guard + overflow containment enforce quality."""
+        return dataclasses.replace(
+            self.test_mode(), hit_budget=hit_budget_floor,
+            tighten_bounds=True, n_samples_culled=n_samples,
+            n_importance_culled=0)
+
 
 @dataclass(frozen=True)
 class CameraConfig:

@@ -257,11 +257,18 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
         return total / n_img
 
     def batch_fn(start: int, s: int):
-        key = ("strip_grad_batch", start, s, ib, H, W, psi_mode, n_data)
+        key = ("strip_grad_batch", start, s, ib, H, W, psi_mode, n_data,
+               rc.remat)
         entry = cache.get(key)
         if entry is None or entry[0] is not leaf:
+            # remat is honored here (unlike the proven single-image shape,
+            # which pins remat=False): the batched program is still ONE
+            # tile, and single-tile remat reverse mode is a distinct
+            # backend shape worth probing — it divides residual memory by
+            # ~the sample count, letting rays-per-program (and so the
+            # dispatch count) scale accordingly
             rc_strip = dataclasses.replace(
-                rc, remat=False, pe_projection=False,
+                rc, pe_projection=False,
                 compute_dtype="float32", ray_chunk=(ib // n_data) * s,
                 use_pallas=False)
 

@@ -1,0 +1,102 @@
+"""Round-4 probe: the psi-gradient strips pass at the NORTH-STAR shape
+(400^2 renders) on hardware — VERDICT r3 #2's missing measurement.
+
+The reference's graded render loop (run_nerf_noscale.py:126-210) is the
+workload being replaced; the repo's strips formulation dispatches one
+compiled reverse-mode program per (image-batch, strip). At 400^2 with
+grad_ray_chunk=5000, one image is 32 strips; the question is wall-clock
+per image and whether (a) image batching at constant rays/program and
+(b) single-tile REMAT reverse programs (which cut residual memory ~S-fold
+and so allow far more rays per program = fewer dispatches) survive the
+v5e backend and how fast they run.
+
+Reports seconds per IMAGE of gradient pass for each surviving variant and
+an extrapolated 100-image (grad_e_max_images cap) pass time.
+"""
+
+import dataclasses
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import sys
+sys.path.insert(0, "/root/repo")
+from bench import box_scene_params
+from neuralsim_tpu.config import NeRFNetConfig, RenderConfig, SamplerConfig
+from neuralsim_tpu.hypergrad.render_grad import render_grad_psi_strips
+from neuralsim_tpu.sampler.poses import draw_pose_noise
+
+H = W = 400
+
+
+def main():
+    n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    net = NeRFNetConfig()
+    # the driver's gradient config: EXACT sampling (64+128), f32, no cull
+    rc = RenderConfig(ray_chunk=32768, compute_dtype="float32").test_mode()
+    sc = SamplerConfig()
+    K = np.array([[1333.3334, 0.0, 195.42932],
+                  [0.0, 1334.2196, 200.6318],
+                  [0.0, 0.0, 1.0]], np.float32)
+    params = box_scene_params(net, jax.random.PRNGKey(0))
+    models = {"coarse": params, "fine": params}
+    psi = jnp.zeros((8,), jnp.float32)
+    noise = draw_pose_noise(jax.random.PRNGKey(1), sc, num_k=n_img)
+    grad_E = (jax.random.normal(jax.random.PRNGKey(2), (n_img, H, W, 3))
+              * 1e-3).astype(jnp.float32)
+
+    variants = [
+        # name, strip, image_batch, remat
+        ("serial_s5000", 5000, 1, False),       # the round-3 shipped shape
+        ("batch4_s5000", 5000, 4, False),       # 4 images/program, 20k rays
+        ("remat_s20000", 20000, 1, True),       # single-tile remat, 8 strips
+        ("remat_b4_s20000", 20000, 4, True),    # 80k rays/program, 2 disp/img
+        ("remat_b8_s40000", 40000, 8, True),    # 320k rays/program
+    ]
+
+    results = {"n_img": n_img, "hw": H}
+    for name, strip, ib, remat in variants:
+        rcv = dataclasses.replace(rc, remat=remat)
+        cache = {}
+        try:
+            t0 = time.perf_counter()
+            g = render_grad_psi_strips(
+                models, psi, noise, grad_E, H, W, K, net, rcv, sc,
+                strip=strip, image_batch=ib, jit_cache=cache)
+            np.asarray(g)       # true barrier
+            t_compile = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            g = render_grad_psi_strips(
+                models, psi, noise, grad_E, H, W, K, net, rcv, sc,
+                strip=strip, image_batch=ib, jit_cache=cache)
+            g_np = np.asarray(g)
+            dt = time.perf_counter() - t0
+            assert np.isfinite(g_np).all()
+            results[name] = {
+                "s_total": round(dt, 2),
+                "s_per_image": round(dt / n_img, 3),
+                "s_100_images_est": round(dt / n_img * 100, 1),
+                "first_call_incl_compile_s": round(t_compile, 1),
+                "grad_l2": float(np.linalg.norm(g_np)),
+            }
+            print(f"{name}: {dt:.2f}s total, {dt / n_img:.3f}s/image "
+                  f"(compile pass {t_compile:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": str(e)[:300]}
+            print(f"{name}: FAILED {str(e)[:200]}", flush=True)
+
+    with open("/tmp/probe_grad_400.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neuralsim_tpu.config import NeRFNetConfig, RenderConfig
 from neuralsim_tpu.models.nerf import init_nerf_pipeline_params
@@ -114,3 +115,45 @@ def test_two_process_dcn_smoke():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "DCN-SMOKE-OK" in out, out
+
+
+@pytest.mark.slow  # two subprocesses each compile a driver render+train
+def test_two_process_driver_path():
+    """VERDICT r3 #9: one mesh-sharded render + one DP inner-train step
+    through the actual BilevelDriver compiled programs with the 'data'
+    axis spanning TWO PROCESSES (tests/dcn_driver_worker.py) — the
+    cross-process collective topology of a multi-host slice on CPU
+    transport."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "dcn_driver_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env)
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "DCN-DRIVER-OK" in out, out
+        assert "params_moved=True" in out, out

@@ -192,3 +192,19 @@ def test_strips_mesh_sharding_invariance(scene):
         models, psi_g, noise_g, grad_E, H, W, K, NET, RC, SC,
         psi_mode="gaussian", strip=H * W, mesh=mesh))
     np.testing.assert_allclose(g_mesh_g, g_serial_g, rtol=1e-5, atol=1e-8)
+
+
+def test_strips_batched_remat_matches_no_remat(scene):
+    """Single-tile remat in the batched strip program (the round-4
+    dispatch-count lever for the 400^2 grad pass) changes memory, not
+    values."""
+    models, grad_E = scene
+    psi = jnp.zeros((8,), jnp.float32).at[4].set(1.0)
+    noise = draw_pose_noise(jax.random.PRNGKey(12), SC, num_k=3)
+    g_plain = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=64,
+        image_batch=3))
+    g_remat = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET,
+        dataclasses.replace(RC, remat=True), SC, strip=64, image_batch=3))
+    np.testing.assert_allclose(g_remat, g_plain, rtol=1e-5, atol=1e-9)
