@@ -262,6 +262,13 @@ class DetectorConfig:
     # Must match the checkpoint in pretrain_weight; see
     # convert_retinanet.detect_p6_source.
     fpn_p6_source: str = "c5"
+    # val-set streaming (single-chip): 0 = the whole val distribution is
+    # device-resident (padded/stacked once — fastest at reference scale,
+    # ~100s of images). > 0 = the driver keeps val images HOST-resident
+    # and streams them through fixed-shape compiled programs in chunks of
+    # about this many images, for real distributions too large for HBM;
+    # applies to both evaluate() and the hypergradient val-grad pass.
+    eval_stream_images: int = 0
 
 
 # --------------------------------------------------------------------------- #

