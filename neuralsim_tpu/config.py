@@ -529,6 +529,11 @@ _FLAG_MAP = {
     "cg_iters": ("bilevel", "cg_iters"),
     "lissa_iters": ("bilevel", "lissa_iters"),
     "lissa_scale": ("bilevel", "lissa_scale"),
+    "grad_image_batch": ("bilevel", "grad_image_batch"),
+    "strip_image_batch": ("bilevel", "strip_image_batch"),
+    "eval_stream_images": ("detector", "eval_stream_images"),
+    "reuse_coarse": ("render", "reuse_coarse"),
+    "ndc": ("render", "ndc"),
 }
 
 # flags the reference accepts but that have no effect on this implementation
@@ -542,6 +547,12 @@ _IGNORED_FLAGS = {
 def config_from_flags(flags: dict, base: Optional[NeuralSimConfig] = None) -> NeuralSimConfig:
     """Build a NeuralSimConfig from a dict of reference-style flag values."""
     cfg = base or NeuralSimConfig()
+    flags = dict(flags)
+    # one-flag production preset (round-4 bench headline: single-pass
+    # grid-guided rendering); applied BEFORE field flags so explicit
+    # --n_samples_culled etc. still override the preset
+    if flags.pop("production_render", False):
+        cfg = dataclasses.replace(cfg, render=cfg.render.production_mode())
     sections = {
         "net": dict(), "render": dict(), "camera": dict(), "sampler": dict(),
         "detector": dict(), "bilevel": dict(), "data": dict(), "train": dict(),
@@ -605,7 +616,7 @@ def parse_cli(argv=None) -> NeuralSimConfig:
         # reference store_true flags
         if key in ("no_batching", "use_viewdirs", "white_bkgd", "half_res",
                    "lindisp", "no_reload", "render_only", "render_test",
-                   "no_ndc", "spherify"):
+                   "no_ndc", "spherify", "production_render"):
             overrides[key] = True
             continue
         overrides[key] = _coerce(next(it))

@@ -75,18 +75,46 @@ def run_per_epoch_phases(label: str, cfg: NeuralSimConfig, models, val,
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, default=100,
+                    help="render side (100 = reference scale; 400 = "
+                         "north-star scale, BASELINE.json config 4)")
+    ap.add_argument("--ge", type=int, default=8,
+                    help="grad_e_max_images (strips-gradient image count)")
+    ap.add_argument("--single_pass", action="store_true",
+                    help="production_mode() single-pass render for the "
+                         "K-pose forward (round 4 headline preset)")
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+
     base = NeuralSimConfig()
+    scale = args.hw / 100.0
     base = dataclasses.replace(
         base,
         render=dataclasses.replace(base.render, compute_dtype="bfloat16",
                                    ray_chunk=32768),
-        bilevel=dataclasses.replace(base.bilevel, grad_e_max_images=8),
+        camera=dataclasses.replace(
+            base.camera, height=args.hw, width=args.hw,
+            focal=base.camera.focal * scale, fx=base.camera.fx * scale,
+            fy=base.camera.fy * scale, cx=base.camera.cx * scale,
+            cy=base.camera.cy * scale),
+        bilevel=dataclasses.replace(base.bilevel,
+                                    grad_e_max_images=args.ge),
     )
     models, val = build_scene(base)
-    cfg_prod = dataclasses.replace(
-        base, render=dataclasses.replace(
-            base.render, hit_budget=0.2, tighten_bounds=True))
-    run_per_epoch_phases("production", cfg_prod, models, val)
+    if args.single_pass:
+        rc = base.render.production_mode()
+        rc = dataclasses.replace(rc, compute_dtype=base.render.compute_dtype,
+                                 ray_chunk=base.render.ray_chunk)
+    else:
+        rc = dataclasses.replace(base.render, hit_budget=0.2,
+                                 tighten_bounds=True)
+    cfg_prod = dataclasses.replace(base, render=rc)
+    label = (f"production hw={args.hw} ge={args.ge}"
+             + (" single_pass" if args.single_pass else ""))
+    run_per_epoch_phases(label, cfg_prod, models, val, n_epochs=args.epochs)
     print("EPOCH BENCH DONE", flush=True)
 
 
