@@ -36,8 +36,56 @@ from neuralsim_tpu.sampler.poses import draw_pose_noise
 H = W = 400
 
 
+VARIANTS = [
+    # name, strip, image_batch, remat
+    ("serial_s5000", 5000, 1, False),       # the round-3 shipped shape
+    ("batch4_s5000", 5000, 4, False),       # 4 images/program, 20k rays
+    ("remat_s20000", 20000, 1, True),       # single-tile remat, 8 strips
+    ("remat_b4_s20000", 20000, 4, True),    # 80k rays/program, 2 disp/img
+    ("remat_b8_s40000", 40000, 8, True),    # 320k rays/program
+]
+
+
+def run_all(n_img: int):
+    """Each variant in its OWN subprocess: a backend RET_CHECK aborts the
+    process (SIGABRT), and the remaining variants must still run."""
+    import json as _json
+    import subprocess
+
+    only_names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    merged = {"n_img": n_img, "hw": H}
+    for name, *_ in VARIANTS:
+        if only_names and name not in only_names:
+            continue
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, str(n_img), name],
+                capture_output=True, timeout=5400)
+            out = p.stdout.decode(errors="replace")
+            line = next((l for l in out.splitlines()
+                         if l.startswith("{")), None)
+            if p.returncode == 0 and line:
+                merged.update({k: v for k, v in _json.loads(line).items()
+                               if k not in ("n_img", "hw")})
+            else:
+                merged[name] = {"error": f"rc={p.returncode}",
+                                "tail": (p.stderr.decode(errors='replace')
+                                         [-300:])}
+        except subprocess.TimeoutExpired:
+            merged[name] = {"error": "timeout 5400s"}
+        print(f"== {name}: "
+              f"{merged.get(name, 'see line above')}", flush=True)
+        # persist after EVERY variant so a killed run keeps its results
+        with open("/tmp/probe_grad_400.json", "w") as f:
+            _json.dump(merged, f, indent=1)
+    print(json.dumps(merged))
+
+
 def main():
     n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    if only is None:
+        return run_all(n_img)
 
     net = NeRFNetConfig()
     # the driver's gradient config: EXACT sampling (64+128), f32, no cull
@@ -53,17 +101,10 @@ def main():
     grad_E = (jax.random.normal(jax.random.PRNGKey(2), (n_img, H, W, 3))
               * 1e-3).astype(jnp.float32)
 
-    variants = [
-        # name, strip, image_batch, remat
-        ("serial_s5000", 5000, 1, False),       # the round-3 shipped shape
-        ("batch4_s5000", 5000, 4, False),       # 4 images/program, 20k rays
-        ("remat_s20000", 20000, 1, True),       # single-tile remat, 8 strips
-        ("remat_b4_s20000", 20000, 4, True),    # 80k rays/program, 2 disp/img
-        ("remat_b8_s40000", 40000, 8, True),    # 320k rays/program
-    ]
-
     results = {"n_img": n_img, "hw": H}
-    for name, strip, ib, remat in variants:
+    for name, strip, ib, remat in VARIANTS:
+        if only and name != only:
+            continue
         rcv = dataclasses.replace(rc, remat=remat)
         cache = {}
         try:
@@ -93,8 +134,9 @@ def main():
             results[name] = {"error": str(e)[:300]}
             print(f"{name}: FAILED {str(e)[:200]}", flush=True)
 
-    with open("/tmp/probe_grad_400.json", "w") as f:
-        json.dump(results, f, indent=1)
+    if only is None:
+        with open("/tmp/probe_grad_400.json", "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 
