@@ -153,17 +153,20 @@ def main():
     # hierarchical ic64 1.36M@46.1 / reuse_ic32 2.51M@45.7 /
     # single48 2.65M@46.6 / single24 4.61M@46.3 / single20 5.23M@46.3 /
     # single16 6.33M@45.7 / single12 7.10M@44.3 / single8 9.50M@40.5.
-    # single20 ships as the headline: it MEETS the 5M north star with a
-    # 6 dB margin over the >40dB guard (the guard, not the constant, is
-    # the contract — bench re-asserts it on every run).
+    # single16 ships as the headline (== production_mode() default): 27%
+    # above the 5M north star at the SAME PSNR as the hierarchical
+    # reuse_ic32 point (45.7 dB) and 5.7 dB above the >40dB guard (the
+    # guard, not the constant, is the contract — re-asserted every run).
     rc_prod = dataclasses.replace(rc, hit_budget=budget,
                                   tighten_bounds=True,
-                                  n_samples_culled=20,
+                                  n_samples_culled=16,
                                   n_importance_culled=0)
     # turbo = the single12 point (7.1M rays/s at 44.3 dB measured): still
     # >4dB above the guard; reported as an extra field with its own PSNR
     # guard so consumers see the speed/quality ladder
     rc_turbo = dataclasses.replace(rc_prod, n_samples_culled=12)
+    assert rc_prod.n_samples_culled == rc.production_mode().n_samples_culled, (
+        "bench headline must measure the shipped production_mode() preset")
     fn_exact = jax.jit(
         lambda m, p: render_poses(m, p, H, W, K, None, net, rc)["rgb_map"])
     fn_prod = jax.jit(
@@ -231,7 +234,7 @@ def main():
                                if turbo_rps is not None else None),
         "turbo_psnr_vs_exact_db": round(psnr_turbo, 1),
         "hit_budget": rc_prod.hit_budget,
-        "production_sampling": "cull+tighten SINGLE-PASS 20 uniform "
+        "production_sampling": "cull+tighten SINGLE-PASS 16 uniform "
                                "in-interval samples, no coarse/fine split "
                                "(exact comparator 64c+128f full-range); "
                                "turbo=single-pass 12",
