@@ -39,6 +39,7 @@ H = W = 400
 VARIANTS = [
     # name, strip, image_batch, remat
     ("serial_s5000", 5000, 1, False),       # the round-3 shipped shape
+    ("batch2_s5000", 5000, 2, False),       # 2 images/program, 10k rays
     ("batch4_s5000", 5000, 4, False),       # 4 images/program, 20k rays
     ("remat_s20000", 20000, 1, True),       # single-tile remat, 8 strips
     ("remat_b4_s20000", 20000, 4, True),    # 80k rays/program, 2 disp/img
