@@ -287,13 +287,20 @@ def _fused_forward(params: Dict, x_pe, d_pe, net: NeRFNetConfig,
 
 
 def _fused_forward_pe(params: Dict, pts, dirs, net: NeRFNetConfig,
-                      compute_dtype=jnp.bfloat16, tile: int = 4096,
+                      compute_dtype=jnp.bfloat16, tile: int | None = None,
                       interpret: bool = False):
     """PE-fused variant: raw [N,3] points/dirs in, [N,4] out — the encoding
     never touches HBM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if tile is None:
+        # f32 live values are 2x bf16 AND the 2026-08 libtpu Mosaic
+        # register allocator spills this kernel's f32 activations to
+        # scoped vmem (186M of spill slots at tile 4096 — over the 128M
+        # device budget; caught by tests_tpu after the backend upgrade).
+        # Halving the tile keeps the spill set inside the budget.
+        tile = 4096 if compute_dtype == jnp.bfloat16 else 2048
     n = pts.shape[0]
     depth = sum(1 for k in params if k.startswith("pts_") and k.endswith("kernel"))
     n_pad = -(-n // tile) * tile
@@ -334,7 +341,7 @@ def _fused_forward_pe(params: Dict, pts, dirs, net: NeRFNetConfig,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp_pe(params, pts, dirs, net: NeRFNetConfig,
-                      compute_dtype=jnp.bfloat16, tile: int = 4096):
+                      compute_dtype=jnp.bfloat16, tile: int | None = None):
     """Pallas-fused PE + MLP on raw points/dirs. Backward recomputes via the
     jnp reference (encoding + nerf_apply)."""
     return _fused_forward_pe(params, pts, dirs, net, compute_dtype, tile)

@@ -174,10 +174,18 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool):
     )
     oh_below = jax.nn.one_hot(jnp.maximum(inds - 1, 0), b, dtype=cdf.dtype)
     oh_above = jax.nn.one_hot(jnp.minimum(inds, b - 1), b, dtype=cdf.dtype)
-    # stack (cdf, bins) so each one-hot does both lookups in one contraction
+    # stack (cdf, bins) so each one-hot does both lookups in one contraction.
+    # precision=HIGHEST: these matmuls are exact table LOOKUPS (one-hot
+    # selection), not arithmetic — the backend's default bf16-accumulate
+    # rounding would corrupt the selected f32 values (caught on-device by
+    # tests_tpu::test_mxu_sample_pdf after a backend upgrade: 2.4% rel
+    # drift at default precision). The tables are tiny (B~65); HIGHEST
+    # costs nothing next to the MLP.
     table = jnp.stack([cdf, bins], axis=-1)                    # [N, B, 2]
-    below_vals = jnp.einsum("nmb,nbk->nmk", oh_below, table)
-    above_vals = jnp.einsum("nmb,nbk->nmk", oh_above, table)
+    below_vals = jnp.einsum("nmb,nbk->nmk", oh_below, table,
+                            precision=jax.lax.Precision.HIGHEST)
+    above_vals = jnp.einsum("nmb,nbk->nmk", oh_above, table,
+                            precision=jax.lax.Precision.HIGHEST)
     cdf_below, bins_below = below_vals[..., 0], below_vals[..., 1]
     cdf_above, bins_above = above_vals[..., 0], above_vals[..., 1]
 
