@@ -117,10 +117,13 @@ class BilevelDriver:
         _, self.det_apply = make_detector_apply(cfg.detector)
 
         # production empty-space skipping for the K-pose forward render
-        # (rc.hit_budget < 1.0 opts in); the GRADIENT render stays exact —
-        # differentiating through the cull's top_k scatter both degrades
-        # gradient fidelity and adds nothing (empty rays have zero grad_E
-        # leverage)
+        # (rc.hit_budget < 1.0 opts in). The GRADIENT render keeps exact
+        # SAMPLING (64+128, full z range) — differentiating through the
+        # forward cull's tightened-interval march would change the
+        # function being differentiated — but bc.grad_hit_budget can
+        # reuse the grid to SELECT which rays the strip programs
+        # differentiate (rays missing every occupied voxel have
+        # identically zero psi-gradient; see render_grad_psi_strips)
         self.grid = None
         if self.rc_test.hit_budget < 1.0:
             from neuralsim_tpu.models.nerf import make_sigma_fn
@@ -766,6 +769,15 @@ class BilevelDriver:
                 # is exact because the outer loss is linear in pixels
                 rc_grad = dataclasses.replace(
                     self.rc_test, fine_fraction=1.0)
+                # occupancy-culled selection (bc.grad_hit_budget != 0):
+                # the cull picks WHICH rays the strip programs differentiate
+                # — the render inside stays exact sampling (64+128); rays
+                # missing the occupied AABB have identically zero
+                # psi-gradient, so this is the forward cull's
+                # conservativeness contract applied to the gradient
+                ghb = bc.grad_hit_budget
+                if ghb < 0:      # track the calibrated forward budget
+                    ghb = self.rc_test.hit_budget
                 grad_psi = render_grad_psi_strips(
                     self.nerf_models, psi, noise_ge, grad_E[:n_ge],
                     cfg.camera.height, cfg.camera.width, cfg.camera.K,
@@ -774,6 +786,9 @@ class BilevelDriver:
                     jit_cache=self._strip_grad_cache,
                     image_batch=bc.strip_image_batch,
                     mesh=self.mesh,
+                    compute_dtype=bc.grad_compute_dtype,
+                    grid=self.grid if ghb else None,
+                    hit_budget=ghb if ghb else 1.0,
                 )
                 self._mesh_barrier(grad_psi)
             else:

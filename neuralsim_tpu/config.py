@@ -354,6 +354,26 @@ class BilevelConfig:
     # mesh the driver rounds this up to the data-axis size and shards the
     # batch across chips.
     strip_image_batch: int = 1
+    # MLP matmul dtype inside the differentiated strip render. float32
+    # (default) is the proven-exact shape; "bfloat16" became legal with
+    # the 2026-08 libtpu (the old backend RET_CHECKed on differentiated
+    # bf16-cast graphs) and rides the MXU at double rate — psi is an
+    # 8-dim direction signal through softmax, and the hardware-probed
+    # bf16-vs-f32 gradient cosine (scripts/probe_grad_400.py) gates any
+    # default flip.
+    grad_compute_dtype: str = "float32"
+    # occupancy-culled strips gradient: fraction of each image's rays the
+    # strip programs gather-render, selected by the occupied-AABB slab
+    # test (ops.occupancy.ray_aabb_bounds). Rays missing every occupied
+    # voxel have identically zero psi-gradient (zero density under relu
+    # along their full length), so the culled gradient is exact up to the
+    # grid's conservativeness; at the YCB-V ~25% hit fraction this cuts
+    # the grad pass FLOPs and dispatch count ~4x. 0.0 = off (dense, the
+    # proven shape); < 0 = track the driver's CALIBRATED forward
+    # hit_budget; > 0 = explicit fraction. Needs the production occupancy
+    # grid (render.hit_budget < 1), else ignored. Budget overflows fall
+    # back to all pixels for that call (logged), never truncate.
+    grad_hit_budget: float = 0.0
 
 
 # --------------------------------------------------------------------------- #
@@ -533,6 +553,8 @@ _FLAG_MAP = {
     "lissa_scale": ("bilevel", "lissa_scale"),
     "grad_image_batch": ("bilevel", "grad_image_batch"),
     "strip_image_batch": ("bilevel", "strip_image_batch"),
+    "grad_compute_dtype": ("bilevel", "grad_compute_dtype"),
+    "grad_hit_budget": ("bilevel", "grad_hit_budget"),
     "eval_stream_images": ("detector", "eval_stream_images"),
     "reuse_coarse": ("render", "reuse_coarse"),
     "ndc": ("render", "ndc"),

@@ -112,38 +112,41 @@ def render_grad_psi_rev(models, psi, noise: PoseNoise, grad_E,
     return jax.grad(loss)(psi)
 
 
-def psi_strip_loss(models, psi, noise_1: PoseNoise, grad_E_strip, start: int,
+def psi_strip_loss(models, psi, noise_1: PoseNoise, grad_E_strip, start,
                    H: int, W: int, K, net: NeRFNetConfig, rc: RenderConfig,
                    sc: SamplerConfig, psi_mode: str = "categorical"):
     """<render(rays[start : start+S]), grad_E_strip> for ONE image.
 
     The outer loss is LINEAR in pixels, so dL/dpsi over an image is the sum
-    of per-strip gradients — this is the single-strip term. ``start`` is a
-    STATIC python int: the compiled program slices the full ray grid at a
-    compile-time offset (one program per strip index, amortized by the jit
-    cache — the 100^2 pipeline default is exactly one strip per image).
-
-    Why this exact shape: the current v5e backend's register allocator
-    RET_CHECKs (lsrav2/live_range_finder.cc:29) on differentiated render
-    programs containing (a) any lax.map/scan wrapper — multi-tile remat
-    reverse mode, the 8-JVP lax.map — or (b) traced-offset dynamic slices
-    (scalar-address-calculation); measured round 2 by bisection. A
-    single-tile reverse program over a statically-sliced get_rays grid is
-    the verified-green formulation."""
+    of per-strip gradients — this is the single-strip term. ``start`` is
+    either a STATIC python int — the compiled program slices the full ray
+    grid at a compile-time offset, one program per strip index (the
+    round-2-proven shape: the OLD v5e backend's register allocator
+    RET_CHECKed, lsrav2/live_range_finder.cc:29, on (a) any lax.map/scan
+    wrapper and (b) traced-offset dynamic slices; a single-tile reverse
+    program over a statically-sliced grid was the verified-green
+    formulation) — or a TRACED scalar (dynamic_start mode): ONE compiled
+    program serves every strip offset via lax.dynamic_slice, legal since
+    the 2026-08 libtpu fixed the scalar-address RET_CHECK. Same math;
+    n_strips-fold fewer compiles."""
     from neuralsim_tpu.ops.rays import get_rays
     from neuralsim_tpu.ops.render import render_ray_batch
 
     pose = psi_poses(psi, noise_1, sc, psi_mode)[0]
     rays_o, rays_d = get_rays(H, W, K, pose[:3, :4])
     s = grad_E_strip.shape[0]
-    ro = rays_o.reshape(-1, 3)[start:start + s]
-    rd = rays_d.reshape(-1, 3)[start:start + s]
+    if isinstance(start, int):
+        ro = rays_o.reshape(-1, 3)[start:start + s]
+        rd = rays_d.reshape(-1, 3)[start:start + s]
+    else:
+        ro = jax.lax.dynamic_slice_in_dim(rays_o.reshape(-1, 3), start, s)
+        rd = jax.lax.dynamic_slice_in_dim(rays_d.reshape(-1, 3), start, s)
     out = render_ray_batch(models, ro, rd, None, net, rc)
     return jnp.sum(out["rgb_map"] * grad_E_strip)
 
 
 def psi_strips_batch_loss(models, psi, noise_b: PoseNoise, grad_E_strips,
-                          start: int, H: int, W: int, K,
+                          start, H: int, W: int, K,
                           net: NeRFNetConfig, rc: RenderConfig,
                           sc: SamplerConfig, psi_mode: str = "categorical"):
     """Sum over a BATCH of images of one pixel strip's <render, grad_E>.
@@ -154,17 +157,70 @@ def psi_strips_batch_loss(models, psi, noise_b: PoseNoise, grad_E_strips,
     single scan-free statically-sliced program, the v5e-green shape, but
     with B fewer host dispatches per strip index. Exact: the outer loss is
     linear in pixels AND a plain sum over images (the caller divides by
-    n_img once)."""
+    n_img once). ``start`` static or traced, as in psi_strip_loss."""
     from neuralsim_tpu.ops.rays import get_rays
     from neuralsim_tpu.ops.render import render_ray_batch
 
     poses = psi_poses(psi, noise_b, sc, psi_mode)            # [B, 4, 4]
     ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m[:3, :4]))(poses)
     b, s = grad_E_strips.shape[0], grad_E_strips.shape[1]
-    ro = ro.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
-    rd = rd.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
+    if isinstance(start, int):
+        ro = ro.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
+        rd = rd.reshape(b, -1, 3)[:, start:start + s].reshape(-1, 3)
+    else:
+        ro = jax.lax.dynamic_slice_in_dim(
+            ro.reshape(b, -1, 3), start, s, axis=1).reshape(-1, 3)
+        rd = jax.lax.dynamic_slice_in_dim(
+            rd.reshape(b, -1, 3), start, s, axis=1).reshape(-1, 3)
     out = render_ray_batch(models, ro, rd, None, net, rc)
     return jnp.sum(out["rgb_map"] * grad_E_strips.reshape(-1, 3))
+
+
+def psi_gather_loss(models, psi, noise_1: PoseNoise, grad_E_sel, idx,
+                    H: int, W: int, K, net: NeRFNetConfig, rc: RenderConfig,
+                    sc: SamplerConfig, psi_mode: str = "categorical"):
+    """<render(rays[idx]), grad_E_sel> for ONE image: the ray subset is a
+    TRACED int32 index vector instead of a contiguous strip.
+
+    This is the occupancy-culled strips gradient's program body: the
+    caller pre-selects (outside the differentiated program) the rays whose
+    psi-gradient can be nonzero — rays missing every occupied voxel see
+    zero density under relu along their whole length, so every rgb partial
+    w.r.t. (o, d) vanishes identically and dropping them is exact up to
+    the grid's conservativeness (the same contract as the forward cull,
+    ops.occupancy). The backward of the gather is a scatter-add into the
+    [H*W, 3] ray grids — legal on the 2026-08 libtpu (older v5e backends
+    RET_CHECKed on traced addressing inside differentiated renders)."""
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.render import render_ray_batch
+
+    pose = psi_poses(psi, noise_1, sc, psi_mode)[0]
+    rays_o, rays_d = get_rays(H, W, K, pose[:3, :4])
+    ro = jnp.take(rays_o.reshape(-1, 3), idx, axis=0)
+    rd = jnp.take(rays_d.reshape(-1, 3), idx, axis=0)
+    out = render_ray_batch(models, ro, rd, None, net, rc)
+    return jnp.sum(out["rgb_map"] * grad_E_sel)
+
+
+def psi_gather_batch_loss(models, psi, noise_b: PoseNoise, grad_E_sel, idx,
+                          H: int, W: int, K, net: NeRFNetConfig,
+                          rc: RenderConfig, sc: SamplerConfig,
+                          psi_mode: str = "categorical"):
+    """Batched psi_gather_loss: B images' index-selected ray chunks
+    flattened into ONE tile (idx [B, S], grad_E_sel [B, S, 3]); the caller
+    divides by n_img once. Padded images carry ZERO grad_E — linearity in
+    the cotangent makes their contribution exactly zero."""
+    from neuralsim_tpu.ops.rays import get_rays
+    from neuralsim_tpu.ops.render import render_ray_batch
+
+    poses = psi_poses(psi, noise_b, sc, psi_mode)            # [B, 4, 4]
+    ro, rd = jax.vmap(lambda m: get_rays(H, W, K, m[:3, :4]))(poses)
+    b = idx.shape[0]
+    ro = jnp.take_along_axis(ro.reshape(b, -1, 3), idx[..., None], axis=1)
+    rd = jnp.take_along_axis(rd.reshape(b, -1, 3), idx[..., None], axis=1)
+    out = render_ray_batch(models, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                           None, net, rc)
+    return jnp.sum(out["rgb_map"] * grad_E_sel.reshape(-1, 3))
 
 
 def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
@@ -174,7 +230,11 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
                            strip: int | None = None,
                            jit_cache: dict | None = None,
                            image_batch: int = 1,
-                           mesh=None):
+                           mesh=None,
+                           compute_dtype: str = "float32",
+                           dynamic_start: bool = False,
+                           grid=None,
+                           hit_budget: float = 1.0):
     """dL/dpsi = mean over images of sum over pixel strips of strip grads.
 
     Host loop over (image batch, strip); every compiled program is one
@@ -198,6 +258,38 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
 
     ``jit_cache``: optional dict reused across calls/epochs so the strip
     program compiles once.
+
+    ``compute_dtype``: MLP matmul dtype inside the differentiated render.
+    Default float32 (the round-2-proven shape — differentiating the
+    bf16-cast graph used to trip the old backend's RET_CHECK). The
+    2026-08 libtpu fixed that, so "bfloat16" is now a legal fast mode:
+    the reverse pass rides the MXU at bf16 rate. psi has 8 dims and the
+    update is a sign/direction signal through softmax — hardware-probed
+    bf16-vs-f32 gradient cosine is recorded by scripts/probe_grad_400.py
+    before any default flips.
+
+    ``dynamic_start``: pass the strip offset as a TRACED scalar so ONE
+    compiled program serves every same-length strip (lax.dynamic_slice
+    ray selection) instead of one program per offset — n_strips-fold
+    fewer compiles at 400^2 (32 -> 1, ~36 min of first-epoch compile).
+    Requires the 2026-08 libtpu (older backends RET_CHECK on
+    traced-offset slices in differentiated renders, the round-2 bisect);
+    default False until the hardware probe validates it.
+
+    ``grid`` + ``hit_budget`` < 1: occupancy-CULLED strips — one cheap
+    non-differentiated selection program scores every ray of every image
+    against the occupied AABB (ops.occupancy.ray_aabb_bounds) and the
+    strip programs then gather-render only the top hit_budget fraction
+    of rays. Rays missing every occupied voxel have identically zero
+    psi-gradient (zero density under relu along their full length), so
+    the culled gradient is exact up to the grid's conservativeness —
+    the same contract as the forward production cull. At the YCB-V
+    ~25% hit fraction this divides both FLOPs and dispatch count ~4x.
+    If any image's true hit count overflows the static budget the whole
+    call falls back to gather-rendering every pixel (logged) — never a
+    silently truncated gradient. Gather selection subsumes
+    ``dynamic_start`` (the index vector is already a traced operand, so
+    there is ONE program per strip length).
 
     The NeRF params are CLOSED OVER by the jitted program, not passed as
     arguments: the round-2 TPU bisect (V1/V3 green, V2 red) showed the v5e
@@ -226,25 +318,41 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
         n_data = mesh.shape["data"]
         ib = -(-max(ib, n_data) // n_data) * n_data
 
+    if grid is not None and hit_budget < 1.0:
+        return _render_grad_strips_culled(
+            models, psi, noise, ge_flat, H, W, K, net, rc, sc, psi_mode,
+            strip, cache, leaf, ib, n_data, mesh, compute_dtype,
+            grid, hit_budget)
+
     if ib == 1:
         def strip_fn(start: int, s: int):
-            # one compiled program per (start, length); the tail strip is
-            # its own (smaller) program — no padding, no dynamic offsets
-            key = ("strip_grad", start, s, H, W, psi_mode)
-            entry = cache.get(key)
+            # static mode: one compiled program per (start, length); the
+            # tail strip is its own (smaller) program — no padding, no
+            # dynamic offsets. dynamic mode: one program per LENGTH, the
+            # offset is a runtime argument.
+            ckey = ("strip_grad", None if dynamic_start else start, s,
+                    H, W, psi_mode, compute_dtype)
+            entry = cache.get(ckey)
             if entry is None or entry[0] is not leaf:
                 rc_strip = dataclasses.replace(
                     rc, remat=False, pe_projection=False,
-                    compute_dtype="float32", ray_chunk=s, use_pallas=False)
-                program = jax.jit(
-                    lambda p, nz, ge: jax.grad(
-                        lambda pp: psi_strip_loss(models, pp, nz, ge, start,
+                    compute_dtype=compute_dtype, ray_chunk=s,
+                    use_pallas=False)
+
+                def grad_at(p, nz, ge, st):
+                    return jax.grad(
+                        lambda pp: psi_strip_loss(models, pp, nz, ge, st,
                                                   H, W, K, net, rc_strip, sc,
-                                                  psi_mode)
-                    )(p)
-                )
-                cache[key] = (leaf, program)
-            return cache[key][1]
+                                                  psi_mode))(p)
+
+                if dynamic_start:
+                    program = jax.jit(grad_at)
+                else:
+                    fixed = start  # static python int baked into the trace
+                    program = jax.jit(
+                        lambda p, nz, ge: grad_at(p, nz, ge, fixed))
+                cache[ckey] = (leaf, program)
+            return cache[ckey][1]
 
         total = jnp.zeros_like(psi)
         for i in range(n_img):
@@ -253,12 +361,20 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
                 start = si * strip
                 s = min(strip, n_pix - start)
                 ge = ge_flat[i, start:start + s]
-                total = total + strip_fn(start, s)(psi, noise_1, ge)
+                fn = strip_fn(start, s)
+                total = total + (
+                    fn(psi, noise_1, ge, jnp.asarray(start, jnp.int32))
+                    if dynamic_start else fn(psi, noise_1, ge))
         return total / n_img
 
+    # the mesh path keeps static offsets (the offset would need replicating
+    # into the shard body, and its dispatch count is already divided by the
+    # data-axis size) — dynamic offsets apply to the single-host batch path
+    dyn_b = dynamic_start and mesh is None
+
     def batch_fn(start: int, s: int):
-        key = ("strip_grad_batch", start, s, ib, H, W, psi_mode, n_data,
-               rc.remat)
+        key = ("strip_grad_batch", None if dyn_b else start, s, ib,
+               H, W, psi_mode, n_data, rc.remat, compute_dtype)
         entry = cache.get(key)
         if entry is None or entry[0] is not leaf:
             # remat is honored here (unlike the proven single-image shape,
@@ -269,27 +385,37 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
             # dispatch count) scale accordingly
             rc_strip = dataclasses.replace(
                 rc, pe_projection=False,
-                compute_dtype="float32", ray_chunk=(ib // n_data) * s,
+                compute_dtype=compute_dtype, ray_chunk=(ib // n_data) * s,
                 use_pallas=False)
 
-            def batch_loss(pp, nz, ge):
-                return psi_strips_batch_loss(models, pp, nz, ge, start, H, W,
+            fixed = start  # static python int baked into the trace
+
+            def batch_loss(pp, nz, ge, st):
+                return psi_strips_batch_loss(models, pp, nz, ge, st, H, W,
                                              K, net, rc_strip, sc, psi_mode)
 
             if mesh is None:
-                program = jax.jit(
-                    lambda p, nz, ge: jax.grad(
-                        lambda pp: batch_loss(pp, nz, ge))(p))
+                if dyn_b:
+                    program = jax.jit(
+                        lambda p, nz, ge, st: jax.grad(
+                            lambda pp: batch_loss(pp, nz, ge, st))(p))
+                else:
+                    program = jax.jit(
+                        lambda p, nz, ge: jax.grad(
+                            lambda pp: batch_loss(pp, nz, ge, fixed))(p))
             else:
                 from jax.sharding import PartitionSpec as P
 
                 from neuralsim_tpu.parallel.mesh import shard_map_compat
 
                 # per-shard local strip loss; the shard_map transpose
-                # psums the replicated-psi cotangent across chips
+                # psums the replicated-psi cotangent across chips.
+                # dynamic_start would need the offset replicated INTO the
+                # shard body — keep the mesh path static (its dispatch
+                # count is already divided by the axis size).
                 sharded = shard_map_compat(
-                    lambda p_, nz_l, ge_l: batch_loss(p_, nz_l,
-                                                      ge_l).reshape(1),
+                    lambda p_, nz_l, ge_l: batch_loss(p_, nz_l, ge_l,
+                                                      fixed).reshape(1),
                     mesh=mesh,
                     in_specs=(P(), P("data"), P("data")),
                     out_specs=P("data"),
@@ -323,11 +449,170 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
             s = min(strip, n_pix - start)
             nz, ge_b = pad_batch(noise, ge_flat[lo:hi, start:start + s],
                                  lo, hi)
-            g = batch_fn(start, s)(psi, nz, ge_b)
+            fn = batch_fn(start, s)
+            g = (fn(psi, nz, ge_b, jnp.asarray(start, jnp.int32))
+                 if dyn_b else fn(psi, nz, ge_b))
             if mesh is not None:
                 # XLA:CPU collective rendezvous needs all shard threads of
                 # ONE program at once — drain before the next dispatch
                 # (see BilevelDriver._mesh_barrier)
+                jax.block_until_ready(g)
+            total = total + g
+    return total / n_img
+
+
+def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
+                               net: NeRFNetConfig, rc: RenderConfig,
+                               sc: SamplerConfig, psi_mode: str,
+                               strip: int, cache: dict, leaf,
+                               ib: int, n_data: int, mesh,
+                               compute_dtype: str, grid,
+                               hit_budget: float):
+    """Occupancy-culled strips gradient (see render_grad_psi_strips).
+
+    ONE selection dispatch scores all images' rays against the occupied
+    AABB; the differentiated programs then gather-render index chunks.
+    All chunks share one compiled program per (length, batch) — the index
+    vector is a traced operand."""
+    import numpy as np
+
+    from neuralsim_tpu.ops.occupancy import ray_aabb_bounds
+    from neuralsim_tpu.ops.rays import get_rays
+
+    n_img, n_pix = ge_flat.shape[0], H * W
+    n_pad_full = -(-n_pix // strip) * strip
+    k_sel = -(-max(1, int(round(n_pix * hit_budget))) // strip) * strip
+
+    full = k_sel >= n_pix          # budget covers everything: skip top_k
+    if not full:
+        # ---- selection: one non-differentiated program, ALL images ----
+        skey = ("strip_sel", H, W, psi_mode, k_sel, n_img)
+        entry = cache.get(skey)
+        if entry is None or entry[0] is not grid.occ:
+            def select_all(p, nz):
+                poses = psi_poses(p, nz, sc, psi_mode)      # [P, 4, 4]
+                ro, rd = jax.vmap(
+                    lambda m: get_rays(H, W, K, m[:3, :4]))(poses)
+                ro = ro.reshape(n_img, n_pix, 3)
+                rd = rd.reshape(n_img, n_pix, 3)
+                hit, _, _ = ray_aabb_bounds(grid, ro, rd, rc.near, rc.far)
+                idx = jax.lax.top_k(hit.astype(jnp.float32), k_sel)[1]
+                return idx.astype(jnp.int32), jnp.sum(hit, axis=-1)
+            cache[skey] = (grid.occ, jax.jit(select_all))
+        idx_all, hits = cache[skey][1](psi, noise)
+        hits = np.asarray(hits)                              # one host sync
+        if int(hits.max(initial=0)) > k_sel:
+            # budget overflow: gather-render EVERY pixel through the same
+            # programs (never a silently truncated gradient)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "culled strips gradient: hit count %d exceeds budget %d "
+                "(hit_budget=%.3f); falling back to all %d pixels this "
+                "call", int(hits.max()), k_sel, hit_budget, n_pix)
+            full = True
+
+    n_sel = n_pad_full if full else k_sel
+    if full:
+        # every pixel, index-padded to a strip multiple; the pad rows get
+        # ZERO grad_E below so the repeated index contributes nothing
+        idx_all = jnp.broadcast_to(
+            jnp.minimum(jnp.arange(n_pad_full, dtype=jnp.int32), n_pix - 1),
+            (n_img, n_pad_full))
+
+    ge_sel = jnp.take_along_axis(ge_flat, idx_all[..., None], axis=1)
+    if n_sel > n_pix:                                        # zero pad tail
+        ge_sel = ge_sel.at[:, n_pix:].set(0.0)
+
+    rc_strip_base = dataclasses.replace(
+        rc, pe_projection=False, compute_dtype=compute_dtype,
+        use_pallas=False)
+
+    if ib == 1:
+        ckey = ("strip_grad_gather", strip, H, W, psi_mode, compute_dtype)
+        entry = cache.get(ckey)
+        if entry is None or entry[0] is not leaf:
+            rc_strip = dataclasses.replace(rc_strip_base, remat=False,
+                                           ray_chunk=strip)
+            program = jax.jit(
+                lambda p, nz, ge, ix: jax.grad(
+                    lambda pp: psi_gather_loss(models, pp, nz, ge, ix,
+                                               H, W, K, net, rc_strip, sc,
+                                               psi_mode))(p))
+            cache[ckey] = (leaf, program)
+        fn = cache[ckey][1]
+
+        total = jnp.zeros_like(psi)
+        for i in range(n_img):
+            noise_1 = jax.tree_util.tree_map(lambda x: x[i:i + 1], noise)
+            for j0 in range(0, n_sel, strip):
+                total = total + fn(psi, noise_1,
+                                   ge_sel[i, j0:j0 + strip],
+                                   idx_all[i, j0:j0 + strip])
+        return total / n_img
+
+    def batch_fn():
+        key = ("strip_grad_gather_batch", strip, ib, H, W, psi_mode,
+               n_data, rc.remat, compute_dtype)
+        entry = cache.get(key)
+        if entry is None or entry[0] is not leaf:
+            rc_strip = dataclasses.replace(
+                rc_strip_base, ray_chunk=(ib // n_data) * strip)
+
+            def batch_loss(pp, nz, ge, ix):
+                return psi_gather_batch_loss(models, pp, nz, ge, ix, H, W,
+                                             K, net, rc_strip, sc, psi_mode)
+
+            if mesh is None:
+                program = jax.jit(
+                    lambda p, nz, ge, ix: jax.grad(
+                        lambda pp: batch_loss(pp, nz, ge, ix))(p))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from neuralsim_tpu.parallel.mesh import shard_map_compat
+
+                sharded = shard_map_compat(
+                    lambda p_, nz_l, ge_l, ix_l: batch_loss(
+                        p_, nz_l, ge_l, ix_l).reshape(1),
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                )
+                program = jax.jit(
+                    lambda p, nz, ge, ix: jax.grad(
+                        lambda pp: jnp.sum(sharded(pp, nz, ge, ix)))(p))
+            cache[key] = (leaf, program)
+        return cache[key][1]
+
+    def pad_imgs(lo: int, hi: int, j0: int):
+        """Images [lo:hi] padded to ib with repeated noise/idx rows and
+        ZERO grad_E (zero cotangent -> exactly zero contribution)."""
+        pad = ib - (hi - lo)
+        nz = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x[lo:hi]] + ([jnp.broadcast_to(x[hi - 1:hi],
+                                                (pad,) + x.shape[1:])]
+                              if pad else []), axis=0),
+            noise)
+        ge = ge_sel[lo:hi, j0:j0 + strip]
+        ix = idx_all[lo:hi, j0:j0 + strip]
+        if pad:
+            ge = jnp.concatenate(
+                [ge, jnp.zeros((pad,) + ge.shape[1:], ge.dtype)], axis=0)
+            ix = jnp.concatenate(
+                [ix, jnp.broadcast_to(ix[-1:], (pad,) + ix.shape[1:])],
+                axis=0)
+        return nz, ge, ix
+
+    fn = batch_fn()
+    total = jnp.zeros_like(psi)
+    for lo in range(0, n_img, ib):
+        hi = min(lo + ib, n_img)
+        for j0 in range(0, n_sel, strip):
+            nz, ge, ix = pad_imgs(lo, hi, j0)
+            g = fn(psi, nz, ge, ix)
+            if mesh is not None:
                 jax.block_until_ready(g)
             total = total + g
     return total / n_img

@@ -37,13 +37,44 @@ H = W = 400
 
 
 VARIANTS = [
-    # name, strip, image_batch, remat
-    ("serial_s5000", 5000, 1, False),       # the round-3 shipped shape
-    ("batch2_s5000", 5000, 2, False),       # 2 images/program, 10k rays
-    ("batch4_s5000", 5000, 4, False),       # 4 images/program, 20k rays
-    ("remat_s20000", 20000, 1, True),       # single-tile remat, 8 strips
-    ("remat_b4_s20000", 20000, 4, True),    # 80k rays/program, 2 disp/img
-    ("remat_b8_s40000", 40000, 8, True),    # 320k rays/program
+    # name, strip, image_batch, remat, dtype, dynamic_start
+    ("serial_s5000", 5000, 1, False, "float32", False),  # r3 shipped shape
+    ("batch2_s5000", 5000, 2, False, "float32", False),  # 10k rays/program
+    ("batch4_s5000", 5000, 4, False, "float32", False),  # 20k — vmem spill
+    ("remat_s20000", 20000, 1, True, "float32", False),  # 20k — vmem spill
+    ("remat_s10000", 10000, 1, True, "float32", False),  # 10k remat
+    ("remat_b4_s20000", 20000, 4, True, "float32", False),  # 80k rays/prog
+    ("remat_b8_s40000", 40000, 8, True, "float32", False),  # 320k rays/prog
+    # bf16 reverse: newly LEGAL after the 2026-08 libtpu fix (the old
+    # backend RET_CHECKed on any differentiated bf16-cast render graph).
+    # cos_vs_serial in the output is the accuracy gate for a default flip.
+    ("bf16_s5000", 5000, 1, False, "bfloat16", False),
+    ("bf16_b2_s5000", 5000, 2, False, "bfloat16", False),
+    ("bf16_remat_s10000", 10000, 1, True, "bfloat16", False),
+    # dynamic strip offset: ONE program for all 32 offsets (traced-offset
+    # dynamic slices — the OTHER shape the 2026-08 libtpu legalized).
+    # Expect first_call_incl_compile_s to collapse ~32x vs serial_s5000;
+    # steady-state s_per_image should match its static twin.
+    ("dyn_s5000", 5000, 1, False, "float32", True),
+    ("dyn_bf16_b2_s5000", 5000, 2, False, "bfloat16", True),
+]
+
+# (name, strip, image_batch, dtype, hit_budget) — occupancy-CULLED strips:
+# a selection program picks the top hit_budget fraction of rays per image
+# (occupied-AABB slab test), the strip programs gather-render only those.
+# Exact up to grid conservativeness (empty rays have identically-zero psi
+# gradient): fewer dispatches AND FLOPs vs serial_s5000 in proportion to
+# 1/hit_budget. Gather indices are traced operands, so there is ONE
+# program per (length, batch) — compile collapse included.
+CULLED_VARIANTS = [
+    # box-scene 400^2 hit fraction measured 0.42-0.50 over poses (the bench
+    # object fills much of the frame; the YCB-V pipeline is similar — its
+    # calibrated forward budget is 0.75 with the 1.25x margin), so 0.55
+    # exercises the selection branch: 18 strips/image instead of 32
+    ("cull55_s5000", 5000, 1, "float32", 0.55),
+    ("cull55_b2_s5000", 5000, 2, "float32", 0.55),
+    ("cull55_bf16_s5000", 5000, 1, "bfloat16", 0.55),
+    ("cull55_bf16_b2_s5000", 5000, 2, "bfloat16", 0.55),
 ]
 
 
@@ -55,7 +86,7 @@ def run_all(n_img: int):
 
     only_names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     merged = {"n_img": n_img, "hw": H}
-    for name, *_ in VARIANTS:
+    for name, *_ in VARIANTS + CULLED_VARIANTS:
         if only_names and name not in only_names:
             continue
         try:
@@ -79,13 +110,30 @@ def run_all(n_img: int):
         # persist after EVERY variant so a killed run keeps its results
         with open("/tmp/probe_grad_400.json", "w") as f:
             _json.dump(merged, f, indent=1)
+
+    # accuracy cross-check: cosine of every variant's gradient against the
+    # f32 serial oracle (all variants compute the SAME mathematical object)
+    ref = merged.get("serial_s5000", {}).get("grad_vec")
+    if ref is not None:
+        ref = np.asarray(ref)
+        for name, r in merged.items():
+            if isinstance(r, dict) and "grad_vec" in r:
+                v = np.asarray(r["grad_vec"])
+                r["cos_vs_serial"] = float(
+                    np.dot(v, ref)
+                    / max(np.linalg.norm(v) * np.linalg.norm(ref), 1e-30))
+        with open("/tmp/probe_grad_400.json", "w") as f:
+            _json.dump(merged, f, indent=1)
     print(json.dumps(merged))
 
 
 def main():
+    # usage: probe_grad_400.py [n_img] [variant|all [name,name,...]]
+    # "all" (or no 2nd arg) = orchestrate every/listed variant in
+    # subprocess isolation; a single variant name = run it inline.
     n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     only = sys.argv[2] if len(sys.argv) > 2 else None
-    if only is None:
+    if only is None or only == "all":
         return run_all(n_img)
 
     net = NeRFNetConfig()
@@ -102,8 +150,24 @@ def main():
     grad_E = (jax.random.normal(jax.random.PRNGKey(2), (n_img, H, W, 3))
               * 1e-3).astype(jnp.float32)
 
+    grid = None
+    if any(name == only for name, *_ in CULLED_VARIANTS):
+        from neuralsim_tpu.models.nerf import make_sigma_fn
+        from neuralsim_tpu.ops.occupancy import (
+            build_scene_grid,
+            scene_half_extent,
+        )
+
+        grid = build_scene_grid(
+            make_sigma_fn(params, net),
+            scene_half_extent(sc.radius, rc.far, H, W, K))
+
+    todo = ([(n, s, b, r, d, dy, None, 1.0)
+             for n, s, b, r, d, dy in VARIANTS]
+            + [(n, s, b, False, d, False, grid, hb)
+               for n, s, b, d, hb in CULLED_VARIANTS])
     results = {"n_img": n_img, "hw": H}
-    for name, strip, ib, remat in VARIANTS:
+    for name, strip, ib, remat, dtype, dyn, gv, hb in todo:
         if only and name != only:
             continue
         rcv = dataclasses.replace(rc, remat=remat)
@@ -112,13 +176,17 @@ def main():
             t0 = time.perf_counter()
             g = render_grad_psi_strips(
                 models, psi, noise, grad_E, H, W, K, net, rcv, sc,
-                strip=strip, image_batch=ib, jit_cache=cache)
+                strip=strip, image_batch=ib, jit_cache=cache,
+                compute_dtype=dtype, dynamic_start=dyn,
+                grid=gv, hit_budget=hb)
             np.asarray(g)       # true barrier
             t_compile = time.perf_counter() - t0
             t0 = time.perf_counter()
             g = render_grad_psi_strips(
                 models, psi, noise, grad_E, H, W, K, net, rcv, sc,
-                strip=strip, image_batch=ib, jit_cache=cache)
+                strip=strip, image_batch=ib, jit_cache=cache,
+                compute_dtype=dtype, dynamic_start=dyn,
+                grid=gv, hit_budget=hb)
             g_np = np.asarray(g)
             dt = time.perf_counter() - t0
             assert np.isfinite(g_np).all()
@@ -128,6 +196,7 @@ def main():
                 "s_100_images_est": round(dt / n_img * 100, 1),
                 "first_call_incl_compile_s": round(t_compile, 1),
                 "grad_l2": float(np.linalg.norm(g_np)),
+                "grad_vec": [float(x) for x in g_np],
             }
             print(f"{name}: {dt:.2f}s total, {dt / n_img:.3f}s/image "
                   f"(compile pass {t_compile:.0f}s)", flush=True)

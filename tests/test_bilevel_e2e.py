@@ -191,6 +191,10 @@ def test_production_culled_epoch(driver):
         driver.cfg,
         render=dataclasses.replace(driver.cfg.render, hit_budget=0.25,
                                    tighten_bounds=True, n_samples_culled=4),
+        # grad_hit_budget < 0: the psi-gradient strips reuse the grid with
+        # the CALIBRATED forward budget for ray selection
+        bilevel=dataclasses.replace(driver.cfg.bilevel,
+                                    grad_hit_budget=-1.0),
     )
     drv = BilevelDriver(cfg, driver.nerf_models, driver.val_data,
                         key=jax.random.PRNGKey(11), object_class=0,
@@ -206,6 +210,13 @@ def test_production_culled_epoch(driver):
     rec = drv.run_epoch(0, psi0, popt, det, save_pngs=False)
     assert np.isfinite(rec["grad_psi"]).all()
     assert np.isfinite(rec["inner_loss"])
+    # the gradient pass went through the gather (culled) strip programs
+    # (either the selection branch or its full-coverage fallback) — unless
+    # calibration raised the budget all the way to 1.0 (nothing to cull)
+    if drv.rc_test.hit_budget < 1.0:
+        assert any(k[0].startswith("strip_grad_gather")
+                   for k in drv._strip_grad_cache), (
+            list(drv._strip_grad_cache))
 
 
 def test_influence_sign_plumbs_to_grad_psi(driver):
