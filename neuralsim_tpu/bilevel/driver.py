@@ -787,6 +787,7 @@ class BilevelDriver:
                     image_batch=bc.strip_image_batch,
                     mesh=self.mesh,
                     compute_dtype=bc.grad_compute_dtype,
+                    dynamic_start=bc.grad_dynamic_start,
                     grid=self.grid if ghb else None,
                     hit_budget=ghb if ghb else 1.0,
                 )

@@ -372,8 +372,18 @@ class BilevelConfig:
     # proven shape); < 0 = track the driver's CALIBRATED forward
     # hit_budget; > 0 = explicit fraction. Needs the production occupancy
     # grid (render.hit_budget < 1), else ignored. Budget overflows fall
-    # back to all pixels for that call (logged), never truncate.
+    # back to all pixels for the overflowing IMAGE only (logged), never
+    # truncate.
     grad_hit_budget: float = 0.0
+    # strips mode: pass the strip offset as a TRACED scalar so ONE compiled
+    # program serves every strip index (lax.dynamic_slice ray selection)
+    # instead of one program per static offset — n_strips-fold fewer
+    # compiles at 400^2 (32 -> 1). Legal since the 2026-08 libtpu (older
+    # v5e backends RET_CHECKed on traced-offset slices inside
+    # differentiated renders); hardware-validated by
+    # scripts/probe_grad_400.py before the default flip. Ignored by the
+    # mesh-sharded batch path (kept static there, see render_grad).
+    grad_dynamic_start: bool = False
 
 
 # --------------------------------------------------------------------------- #
@@ -555,6 +565,7 @@ _FLAG_MAP = {
     "strip_image_batch": ("bilevel", "strip_image_batch"),
     "grad_compute_dtype": ("bilevel", "grad_compute_dtype"),
     "grad_hit_budget": ("bilevel", "grad_hit_budget"),
+    "grad_dynamic_start": ("bilevel", "grad_dynamic_start"),
     "eval_stream_images": ("detector", "eval_stream_images"),
     "reuse_coarse": ("render", "reuse_coarse"),
     "ndc": ("render", "ndc"),

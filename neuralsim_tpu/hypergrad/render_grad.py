@@ -285,9 +285,10 @@ def render_grad_psi_strips(models, psi, noise: PoseNoise, grad_E,
     the culled gradient is exact up to the grid's conservativeness —
     the same contract as the forward production cull. At the YCB-V
     ~25% hit fraction this divides both FLOPs and dispatch count ~4x.
-    If any image's true hit count overflows the static budget the whole
-    call falls back to gather-rendering every pixel (logged) — never a
-    silently truncated gradient. Gather selection subsumes
+    If an image's true hit count overflows the static budget, THAT image
+    falls back to gather-rendering every pixel (logged) while the others
+    keep their selection — never a silently truncated gradient, never a
+    whole-call cost cliff. Gather selection subsumes
     ``dynamic_start`` (the index vector is already a traced operand, so
     there is ONE program per strip length).
 
@@ -484,6 +485,7 @@ def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
     k_sel = -(-max(1, int(round(n_pix * hit_budget))) // strip) * strip
 
     full = k_sel >= n_pix          # budget covers everything: skip top_k
+    ovf_rows = np.zeros((n_img,), bool)
     if not full:
         # ---- selection: one non-differentiated program, ALL images ----
         skey = ("strip_sel", H, W, psi_mode, k_sel, n_img)
@@ -501,28 +503,59 @@ def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
             cache[skey] = (grid.occ, jax.jit(select_all))
         idx_all, hits = cache[skey][1](psi, noise)
         hits = np.asarray(hits)                              # one host sync
-        if int(hits.max(initial=0)) > k_sel:
-            # budget overflow: gather-render EVERY pixel through the same
-            # programs (never a silently truncated gradient)
+        ovf_rows = hits > k_sel
+        if ovf_rows.any():
+            # budget overflow: gather-render EVERY pixel of the OVERFLOWING
+            # images through the same programs (never a silently truncated
+            # gradient); images within budget keep their selection — a
+            # per-image fallback, not a whole-call cost cliff
             import logging
 
             logging.getLogger(__name__).warning(
-                "culled strips gradient: hit count %d exceeds budget %d "
-                "(hit_budget=%.3f); falling back to all %d pixels this "
-                "call", int(hits.max()), k_sel, hit_budget, n_pix)
-            full = True
+                "culled strips gradient: %d/%d images exceed budget %d "
+                "(max hit count %d, hit_budget=%.3f); falling back to all "
+                "%d pixels for those images this call",
+                int(ovf_rows.sum()), n_img, k_sel, int(hits.max()),
+                hit_budget, n_pix)
+            if ovf_rows.all():
+                full = True
 
-    n_sel = n_pad_full if full else k_sel
     if full:
         # every pixel, index-padded to a strip multiple; the pad rows get
         # ZERO grad_E below so the repeated index contributes nothing
         idx_all = jnp.broadcast_to(
             jnp.minimum(jnp.arange(n_pad_full, dtype=jnp.int32), n_pix - 1),
             (n_img, n_pad_full))
+        ovf_rows = np.zeros((n_img,), bool)
 
-    ge_sel = jnp.take_along_axis(ge_flat, idx_all[..., None], axis=1)
-    if n_sel > n_pix:                                        # zero pad tail
-        ge_sel = ge_sel.at[:, n_pix:].set(0.0)
+    def group_arrays(rows, idx_rows, n_sel):
+        """Per-image-group (noise, ge, idx) with zero grad_E on pad tails."""
+        rows_j = jnp.asarray(rows, jnp.int32)
+        nz = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, rows_j, axis=0), noise)
+        ge = jnp.take_along_axis(jnp.take(ge_flat, rows_j, axis=0),
+                                 idx_rows[..., None], axis=1)
+        if n_sel > n_pix:                                    # zero pad tail
+            ge = ge.at[:, n_pix:].set(0.0)
+        return nz, ge, idx_rows
+
+    # (rows, idx[len(rows), n_sel], n_sel) per homogeneous-selection group;
+    # each group runs through the SAME compiled gather programs (the index
+    # vector is a traced operand) — only the chunk count differs
+    groups = []
+    if ovf_rows.any():
+        ok = np.nonzero(~ovf_rows)[0]
+        ov = np.nonzero(ovf_rows)[0]
+        if ok.size:
+            groups.append((ok, jnp.take(idx_all, jnp.asarray(ok, jnp.int32),
+                                        axis=0), k_sel))
+        full_idx = jnp.broadcast_to(
+            jnp.minimum(jnp.arange(n_pad_full, dtype=jnp.int32), n_pix - 1),
+            (ov.size, n_pad_full))
+        groups.append((ov, full_idx, n_pad_full))
+    else:
+        groups.append((np.arange(n_img), idx_all,
+                       n_pad_full if full else k_sel))
 
     rc_strip_base = dataclasses.replace(
         rc, pe_projection=False, compute_dtype=compute_dtype,
@@ -543,12 +576,15 @@ def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
         fn = cache[ckey][1]
 
         total = jnp.zeros_like(psi)
-        for i in range(n_img):
-            noise_1 = jax.tree_util.tree_map(lambda x: x[i:i + 1], noise)
-            for j0 in range(0, n_sel, strip):
-                total = total + fn(psi, noise_1,
-                                   ge_sel[i, j0:j0 + strip],
-                                   idx_all[i, j0:j0 + strip])
+        for rows, idx_rows, n_sel in groups:
+            nz_g, ge_g, ix_g = group_arrays(rows, idx_rows, n_sel)
+            for i in range(len(rows)):
+                noise_1 = jax.tree_util.tree_map(
+                    lambda x: x[i:i + 1], nz_g)
+                for j0 in range(0, n_sel, strip):
+                    total = total + fn(psi, noise_1,
+                                       ge_g[i, j0:j0 + strip],
+                                       ix_g[i, j0:j0 + strip])
         return total / n_img
 
     def batch_fn():
@@ -585,18 +621,18 @@ def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
             cache[key] = (leaf, program)
         return cache[key][1]
 
-    def pad_imgs(lo: int, hi: int, j0: int):
-        """Images [lo:hi] padded to ib with repeated noise/idx rows and
-        ZERO grad_E (zero cotangent -> exactly zero contribution)."""
+    def pad_imgs(nz_g, ge_g, ix_g, lo: int, hi: int, j0: int):
+        """Group images [lo:hi] padded to ib with repeated noise/idx rows
+        and ZERO grad_E (zero cotangent -> exactly zero contribution)."""
         pad = ib - (hi - lo)
         nz = jax.tree_util.tree_map(
             lambda x: jnp.concatenate(
                 [x[lo:hi]] + ([jnp.broadcast_to(x[hi - 1:hi],
                                                 (pad,) + x.shape[1:])]
                               if pad else []), axis=0),
-            noise)
-        ge = ge_sel[lo:hi, j0:j0 + strip]
-        ix = idx_all[lo:hi, j0:j0 + strip]
+            nz_g)
+        ge = ge_g[lo:hi, j0:j0 + strip]
+        ix = ix_g[lo:hi, j0:j0 + strip]
         if pad:
             ge = jnp.concatenate(
                 [ge, jnp.zeros((pad,) + ge.shape[1:], ge.dtype)], axis=0)
@@ -607,12 +643,14 @@ def _render_grad_strips_culled(models, psi, noise, ge_flat, H, W, K,
 
     fn = batch_fn()
     total = jnp.zeros_like(psi)
-    for lo in range(0, n_img, ib):
-        hi = min(lo + ib, n_img)
-        for j0 in range(0, n_sel, strip):
-            nz, ge, ix = pad_imgs(lo, hi, j0)
-            g = fn(psi, nz, ge, ix)
-            if mesh is not None:
-                jax.block_until_ready(g)
-            total = total + g
+    for rows, idx_rows, n_sel in groups:
+        nz_g, ge_g, ix_g = group_arrays(rows, idx_rows, n_sel)
+        for lo in range(0, len(rows), ib):
+            hi = min(lo + ib, len(rows))
+            for j0 in range(0, n_sel, strip):
+                nz, ge, ix = pad_imgs(nz_g, ge_g, ix_g, lo, hi, j0)
+                g = fn(psi, nz, ge, ix)
+                if mesh is not None:
+                    jax.block_until_ready(g)
+                total = total + g
     return total / n_img

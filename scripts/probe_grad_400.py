@@ -57,6 +57,11 @@ VARIANTS = [
     # steady-state s_per_image should match its static twin.
     ("dyn_s5000", 5000, 1, False, "float32", True),
     ("dyn_bf16_b2_s5000", 5000, 2, False, "bfloat16", True),
+    # single-lever dynamic variants: each flips exactly ONE knob vs
+    # dyn_s5000, and each compiles ONE program — the cheapest clean
+    # evidence for the bf16 / image-batch default decisions.
+    ("dyn_bf16_s5000", 5000, 1, False, "bfloat16", True),
+    ("dyn_b2_s5000", 5000, 2, False, "float32", True),
 ]
 
 # (name, strip, image_batch, dtype, hit_budget) — occupancy-CULLED strips:

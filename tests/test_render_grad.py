@@ -359,6 +359,72 @@ def test_strips_culled_overflow_falls_back(culled_scene, caplog):
     np.testing.assert_allclose(g_tiny, g_dense, rtol=1e-4, atol=2e-8)
 
 
+def test_strips_culled_overflow_is_per_image(caplog):
+    """When SOME images exceed the selection budget, only those images fall
+    back to all-pixels gather rendering; the rest keep their selection —
+    verified by equality with the dense gradient AND by dispatch counts
+    (overflow image: full-coverage chunks; others: budget chunks)."""
+    import logging
+
+    from bench import box_scene_params
+    from neuralsim_tpu.models.nerf import make_sigma_fn
+    from neuralsim_tpu.ops.occupancy import build_scene_grid, scene_half_extent
+
+    # off-center box -> azimuth-dependent per-image hit counts: seed 22
+    # draws 3 poses with hits [17, 41, 31] of 144 rays (measured); a
+    # 32-ray budget (hit_budget=0.22, strip 8) overflows ONLY image 1
+    params = box_scene_params(NET, jax.random.PRNGKey(0), half=0.10,
+                              center=(0.25, 0.0, 0.0))
+    models = {"coarse": params, "fine": params}
+    grid = build_scene_grid(
+        make_sigma_fn(params, NET),
+        scene_half_extent(SC.radius, RC.far, H, W, K))
+    grad_E = jax.random.normal(jax.random.PRNGKey(26), (3, H, W, 3)) * 1e-2
+    psi = jnp.zeros((8,), jnp.float32)
+    noise = draw_pose_noise(jax.random.PRNGKey(2), SC, num_k=3)
+
+    g_dense = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=8))
+    assert np.linalg.norm(g_dense) > 0
+
+    cache = {}
+    with caplog.at_level(logging.WARNING,
+                         logger="neuralsim_tpu.hypergrad.render_grad"):
+        g_mixed = np.asarray(render_grad_psi_strips(
+            models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=8,
+            jit_cache=cache, grid=grid, hit_budget=0.22))
+    msgs = [r.message for r in caplog.records if "falling back" in r.message]
+    assert msgs and "1/3 images" in msgs[0]
+    np.testing.assert_allclose(g_mixed, g_dense, rtol=1e-4, atol=2e-8)
+
+    # dispatch accounting on a second call through counting wrappers:
+    # 2 within-budget images x (32/8) chunks + 1 overflow image x (144/8)
+    # chunks — NOT 3 x 18 (the old whole-call cliff)
+    counts = {"gather": 0, "sel": 0}
+
+    def wrap(fn, k):
+        def counted(*a, **kw):
+            counts[k] += 1
+            return fn(*a, **kw)
+        return counted
+
+    for ckey, (leaf_, fn) in list(cache.items()):
+        kind = {"strip_grad_gather": "gather", "strip_sel": "sel"}.get(ckey[0])
+        if kind:
+            cache[ckey] = (leaf_, wrap(fn, kind))
+    g_again = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=8,
+        jit_cache=cache, grid=grid, hit_budget=0.22))
+    np.testing.assert_allclose(g_again, g_dense, rtol=1e-4, atol=2e-8)
+    assert counts == {"gather": 2 * 4 + 1 * 18, "sel": 1}
+
+    # batched path takes the same per-image split
+    g_batched = np.asarray(render_grad_psi_strips(
+        models, psi, noise, grad_E, H, W, K, NET, RC, SC, strip=8,
+        image_batch=2, grid=grid, hit_budget=0.22))
+    np.testing.assert_allclose(g_batched, g_dense, rtol=1e-4, atol=2e-8)
+
+
 def test_strips_culled_full_budget_skips_selection(culled_scene):
     """hit_budget that rounds up to every pixel routes straight to the
     full-coverage gather path: no selection program, same gradient."""
