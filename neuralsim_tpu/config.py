@@ -303,12 +303,17 @@ class BilevelConfig:
     # inverse-HVP solver: "onestep" reproduces the reference's live path
     # ((H + damping I) v, neural_sim_main.py:995-1018); "cg" and "lissa" are
     # real solvers for the branches the reference left dead (:984, :993);
+    # "cg_normal" solves the SPD normal equations (A^2 + mu)x = Av — the
+    # sign-correct inverse when the short-inner-train Hessian is indefinite
+    # and plain cg/lissa diverge (scripts/diag_hypergrad_solvers.py);
     # "neumann" = 2v - Hv; "identity" = v.
     ihvp_solver: str = "onestep"
     ihvp_damping: float = 1e-2
     cg_iters: int = 10
     lissa_iters: int = 30
-    lissa_scale: float = 25.0           # must exceed ||H + damping I||_2
+    # must exceed ||H + damping I||_2 (PSD H only); <= 0 = auto via power
+    # iteration (influence.inverse_hvp)
+    lissa_scale: float = 25.0
     # sign applied to the influence-mode grad_E before the psi chain rule.
     # The implicit function theorem gives dL_val/dI = -(d2L_tr/dI dtheta)
     # H^{-1} grad L_val — the reference OMITS this minus
@@ -354,36 +359,45 @@ class BilevelConfig:
     # mesh the driver rounds this up to the data-axis size and shards the
     # batch across chips.
     strip_image_batch: int = 1
-    # MLP matmul dtype inside the differentiated strip render. float32
-    # (default) is the proven-exact shape; "bfloat16" became legal with
-    # the 2026-08 libtpu (the old backend RET_CHECKed on differentiated
-    # bf16-cast graphs) and rides the MXU at double rate — psi is an
-    # 8-dim direction signal through softmax, and the hardware-probed
-    # bf16-vs-f32 gradient cosine (scripts/probe_grad_400.py) gates any
-    # default flip.
-    grad_compute_dtype: str = "float32"
+    # MLP matmul dtype inside the differentiated strip render. "bfloat16"
+    # (default since round 5) rides the MXU at double rate; it became
+    # legal with the 2026-08 libtpu (the old backend RET_CHECKed on
+    # differentiated bf16-cast graphs). The accuracy gate that justified
+    # the flip: hardware-probed bf16-vs-f32 gradient cosine 0.99999993 at
+    # the 400^2 north-star shape, 2.60 s/image vs 4.00 f32
+    # (scripts/results/probe_grad_400_nimg4.json). "float32" remains the
+    # oracle shape for probes/tests.
+    grad_compute_dtype: str = "bfloat16"
     # occupancy-culled strips gradient: fraction of each image's rays the
     # strip programs gather-render, selected by the occupied-AABB slab
     # test (ops.occupancy.ray_aabb_bounds). Rays missing every occupied
     # voxel have identically zero psi-gradient (zero density under relu
     # along their full length), so the culled gradient is exact up to the
     # grid's conservativeness; at the YCB-V ~25% hit fraction this cuts
-    # the grad pass FLOPs and dispatch count ~4x. 0.0 = off (dense, the
-    # proven shape); < 0 = track the driver's CALIBRATED forward
+    # the grad pass FLOPs and dispatch count ~4x. 0.0 = off (dense);
+    # < 0 (default since round 5) = track the driver's CALIBRATED forward
     # hit_budget; > 0 = explicit fraction. Needs the production occupancy
-    # grid (render.hit_budget < 1), else ignored. Budget overflows fall
-    # back to all pixels for the overflowing IMAGE only (logged), never
-    # truncate.
-    grad_hit_budget: float = 0.0
+    # grid (render.hit_budget < 1), else ignored — exact-render runs keep
+    # the dense gradient automatically. Budget overflows fall back to all
+    # pixels for the overflowing IMAGE only (logged), never truncate.
+    # Hardware evidence for the flip: cull55 gradient cosine vs the dense
+    # f32 oracle 0.999999999994; 2.28 s/image f32 / 1.49 bf16 vs 4.00
+    # dense serial at 400^2 (scripts/results/probe_grad_400_nimg4.json).
+    grad_hit_budget: float = -1.0
     # strips mode: pass the strip offset as a TRACED scalar so ONE compiled
     # program serves every strip index (lax.dynamic_slice ray selection)
     # instead of one program per static offset — n_strips-fold fewer
     # compiles at 400^2 (32 -> 1). Legal since the 2026-08 libtpu (older
     # v5e backends RET_CHECKed on traced-offset slices inside
-    # differentiated renders); hardware-validated by
-    # scripts/probe_grad_400.py before the default flip. Ignored by the
-    # mesh-sharded batch path (kept static there, see render_grad).
-    grad_dynamic_start: bool = False
+    # differentiated renders). Default True since round 5: hardware probe
+    # measured IDENTICAL gradients (cosine 1.0) and identical
+    # steady-state s/image with first-call compile collapsed 3989 s ->
+    # 259 s f32 / 65 s bf16 (scripts/results/probe_grad_400_nimg4.json).
+    # Ignored by the mesh-sharded batch path (kept static there, see
+    # render_grad). strip_image_batch stays 1: dyn_b2 compiles but runs
+    # SLOWER (4.35 s/image vs 2.60 b1-bf16) — the batch frontier is now a
+    # measured number, not a compile failure.
+    grad_dynamic_start: bool = True
 
 
 # --------------------------------------------------------------------------- #
