@@ -812,8 +812,19 @@ class BilevelDriver:
                     g * (w / total) for g, w in zip(grads, weights)
                 )
 
-        # [3.4] update psi + schedule
-        psi_opt, psi = psi_optimizer_update(psi_opt, psi, grad_psi)
+        # [3.4] update psi + schedule. Nonfinite guard first: a diverged
+        # IHVP solver (plain cg / fixed-scale lissa on an indefinite
+        # Hessian — measured in scripts/diag_hypergrad_solvers.py) must
+        # not poison psi and, through Adam's second-moment state, every
+        # epoch after it. The epoch's gradient is dropped (logged), psi
+        # and optimizer state carry over unchanged.
+        grad_finite = bool(jnp.all(jnp.isfinite(grad_psi)))
+        if not grad_finite:
+            self.log.append(epoch, {"grad_psi_nonfinite": True},
+                            text=f"epoch {epoch}: nonfinite grad_psi "
+                                 f"dropped (ihvp_solver={bc.ihvp_solver})")
+        else:
+            psi_opt, psi = psi_optimizer_update(psi_opt, psi, grad_psi)
         lr = adjust_learning_rate(epoch, bc.opt_lr, bc.n_epochs)
         psi_opt = psi_opt._replace(lr=jnp.asarray(lr, jnp.float32))
 

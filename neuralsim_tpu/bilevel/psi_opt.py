@@ -66,7 +66,12 @@ def psi_optimizer_update(state: PsiOptState, psi, grad):
 
 
 def adjust_learning_rate(epoch: int, base_lr: float, max_epoch: int) -> float:
-    """5-epoch linear warmup then linear decay (reference :1137-1141)."""
+    """5-epoch linear warmup then linear decay (reference :1137-1141).
+
+    Clamped at zero: the reference formula goes NEGATIVE past max_epoch
+    (gradient ASCENT) — it never notices because its loop runs exactly
+    max_epoch epochs, but any caller running run_epoch past bc.n_epochs
+    (demos, resumed runs) would silently optimize psi the wrong way."""
     if epoch <= 5:
         return base_lr * epoch / 5.0
-    return base_lr * (1.0 - epoch / max_epoch)
+    return max(0.0, base_lr * (1.0 - epoch / max_epoch))

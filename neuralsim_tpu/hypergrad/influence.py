@@ -15,6 +15,9 @@ calls over optimizer param groups:
   cg_max_iter=-3 Neumann 2v-Hv      inverse_hvp("neumann")     (:988-991)
   dead CG branch (:993, undefined)  inverse_hvp("cg") — a REAL CG solver
   dead lissa branch (:984, undef.)  inverse_hvp("lissa") — a REAL LiSSA loop
+  (no reference analog)             inverse_hvp("cg_normal") — SPD
+                                    normal-equations CG, the sign-correct
+                                    solve for indefinite H
   compute_grad_E mixed partial      mixed_grad_wrt_images      (:855-911)
 
 All functions take ``loss_fn(params, batch) -> scalar`` and pytree params;
@@ -104,14 +107,29 @@ def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
       neumann  : 2v - Hv                    (reference cg_max_iter=-3,
                  first-order Neumann series for H^{-1}v when ||H|| < 1)
       cg       : conjugate-gradient solve of (H + damping I) x = v — the
-                 solver the reference's dead branch intended (:993)
+                 solver the reference's dead branch intended (:993). CG
+                 assumes SPD; at underfit inner-train states the detector
+                 Hessian is indefinite and CG can break down (alpha through
+                 a ~0 or negative curvature p'Ap). Prefer cg_normal there.
+      cg_normal: CG on the NORMAL equations (A'A + mu I) x = A'v with
+                 A = H + damping I (symmetric, so A'A = A^2, A'v = Av) —
+                 an SPD system for ANY symmetric A, converging to the
+                 Tikhonov-regularised pseudo-inverse A^+ v. Sign-correct
+                 where plain cg/lissa diverge on indefinite H (measured:
+                 scripts/diag_hypergrad_solvers.py); costs 2 HVPs/iter.
       lissa    : LiSSA truncated-Neumann recursion (Agarwal et al. 2017,
                  the estimator the reference's dead ``get_inverse_hvp_lissa``
                  branch named, :984): x_j = v + (I - (H + damping I)/scale)
                  x_{j-1}, x_0 = v; returns x_J / scale -> (H + damping I)^{-1}
-                 v as J -> inf whenever scale > ||H + damping I||. Unlike CG
-                 it needs no SPD assumption beyond that spectral bound, and
-                 each step is a single HVP — a fixed-length lax.scan here.
+                 v as J -> inf whenever H + damping I is PSD AND
+                 scale > ||H + damping I|| (eigenvalues of I - A/scale must
+                 lie in (-1, 1); a negative eigenvalue of A diverges at any
+                 scale — use cg_normal for indefinite H). Each step is a
+                 single HVP — a fixed-length lax.scan here. ``lissa_scale
+                 <= 0`` selects AUTO scaling: the spectral norm of A is
+                 estimated by power iteration (8 HVPs) and scale is set to
+                 2x the estimate, guarding the divergence the fixed default
+                 hits when ||H|| is underestimated.
                  With ``lissa_stacked=True``, ``batch`` leaves must carry a
                  leading ``lissa_iters`` axis and each recursion step
                  consumes its own minibatch (the stochastic estimator of the
@@ -132,6 +150,14 @@ def inverse_hvp(loss_fn: Callable, params, batch, v, method: str = "onestep",
             lambda x: tree_axpy(damping, x, hvp(loss_fn, params, batch, x)),
             v, cg_iters,
         )
+    if method == "cg_normal":
+        a_mv = lambda x: tree_axpy(damping, x, hvp(loss_fn, params, batch, x))
+        # (A^2 + mu I) x = A v;  mu = damping^2 keeps the Tikhonov floor at
+        # the same order as A's own eigenvalue shift so near-null directions
+        # of A stay bounded instead of exploding through 1/lambda^2.
+        mu = damping * damping
+        return _cg_solve(lambda x: tree_axpy(mu, x, a_mv(a_mv(x))),
+                         a_mv(v), cg_iters)
     if method == "lissa":
         return _lissa_solve(loss_fn, params, batch, v, damping,
                             lissa_iters, lissa_scale, lissa_stacked)
@@ -152,6 +178,26 @@ def _lissa_solve(loss_fn, params, batch, v, damping, iters, scale, stacked):
             raise ValueError(
                 f"lissa_stacked batch leaves must lead with [{iters}]; "
                 f"got leading dims {sorted(lead)}")
+
+    if scale <= 0:
+        # Auto scale: power-iterate A = H + damping I on the first batch to
+        # estimate its spectral norm, then take 2x so eig(A)/scale <= 0.5
+        # and the Neumann factor |1 - lam/scale| stays < 1 for PSD A. The
+        # estimate is a traced scalar — one compiled program still serves
+        # every call.
+        pw_batch = (jax.tree_util.tree_map(lambda l: l[0], batch)
+                    if stacked else batch)
+        a_mv = lambda x: tree_axpy(damping, x, hvp(loss_fn, params, pw_batch, x))
+
+        def pw_body(u, _):
+            au = a_mv(u)
+            nrm = jnp.sqrt(jnp.maximum(tree_dot(au, au).real, 1e-30))
+            return jax.tree_util.tree_map(lambda z: z / nrm, au), nrm
+
+        u0_nrm = jnp.sqrt(jnp.maximum(tree_dot(v, v).real, 1e-30))
+        u0 = jax.tree_util.tree_map(lambda z: z / u0_nrm, v)
+        _, nrms = jax.lax.scan(pw_body, u0, None, length=8)
+        scale = 2.0 * jnp.maximum(nrms[-1], 1.0)
 
     def body(x, step_batch):
         b = step_batch if stacked else batch

@@ -55,7 +55,8 @@ TARGET_BIN = 4  # center 202.5 deg — mid-range, away from the linear-mix edge
 
 
 def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
-             opt_lr: float = 2e-3):
+             opt_lr: float = 2e-3, n_epochs: int = 50,
+             ihvp_solver: str = "onestep"):
     from neuralsim_tpu.config import (
         BilevelConfig, CameraConfig, DetectorConfig, NeRFNetConfig,
         NeuralSimConfig, RenderConfig, SamplerConfig,
@@ -76,11 +77,17 @@ def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
         bilevel=BilevelConfig(
             optimization=optimization, opt_lr=opt_lr, opt_method="adam",
             psi_pose_cats_mode="uniform", hypergrad_mode=hypergrad_mode,
-            ihvp_solver="onestep", grad_e_max_images=n_k),
+            ihvp_solver=ihvp_solver, grad_e_max_images=n_k,
+            # match the reference LR schedule's decay horizon to the actual
+            # run length: decay hits exactly 0 at the final epoch instead of
+            # going negative past the 50-epoch default (psi_opt.py clamp)
+            n_epochs=n_epochs),
     )
 
 
-def pipeline_cfg(hypergrad_mode: str, optimization: bool):
+def pipeline_cfg(hypergrad_mode: str, optimization: bool,
+                 opt_lr: float = 0.05, n_epochs: int = 50,
+                 ihvp_solver: str = "onestep"):
     """North-star pipeline shape: 100^2 renders (the reference's default
     pipeline resolution, load_LINEMOD_noscale.py:185-192), K=50 poses,
     full-size NeRF MLP, R50-FPN RetinaNet, 50-step inner train."""
@@ -99,9 +106,10 @@ def pipeline_cfg(hypergrad_mode: str, optimization: bool):
         sampler=SamplerConfig(),                       # K=50
         detector=DetectorConfig(num_classes=2),        # 50-step R50-FPN
         bilevel=BilevelConfig(
-            optimization=optimization, opt_lr=2e-3, opt_method="adam",
+            optimization=optimization, opt_lr=opt_lr, opt_method="adam",
             psi_pose_cats_mode="uniform", hypergrad_mode=hypergrad_mode,
-            ihvp_solver="onestep", grad_e_max_images=12),
+            ihvp_solver=ihvp_solver, grad_e_max_images=12,
+            n_epochs=n_epochs),
     )
 
 
@@ -148,16 +156,37 @@ def val_from_bin(models, cfg, bin_k: int, n_val: int, key):
 def run_convergence(hypergrad_mode: str = "influence",
                     optimization: bool = True, n_epochs: int = 40,
                     seed: int = 0, scale: str = "stub", n_val: int = 6,
-                    verbose: bool = True, out_dir: str | None = None):
+                    verbose: bool = True, out_dir: str | None = None,
+                    opt_lr: float = 0.05, warm_start: bool = False,
+                    ihvp_solver: str = "onestep"):
     """Run the full driver; returns the per-epoch history:
-    [{epoch, target_mass, psi_probs, AP, AP50, inner_loss}, ...]."""
+    [{epoch, target_mass, psi_probs, AP, AP50, inner_loss}, ...].
+
+    warm_start=False (default) re-initializes the detector every epoch,
+    making the outer objective STATIONARY: L_val(psi) = val loss after a
+    fixed-length cold inner train on psi-distributed data. That is the
+    landscape the per-bin diagnostic certifies (bin 4: val_loss 0.10 /
+    AP 52 vs 0.39-2.6 / <=12 elsewhere) and the one psi must descend.
+    warm_start=True chains detector state across epochs like the
+    reference (neural_sim_main.py:839-842 reloads model_final.pth) — but
+    on this deliberately easy synthetic scene the chained detector
+    saturates val (AP50=100 by epoch ~3), after which the MARGINAL value
+    of more target-bin data is zero-to-negative (diversity regularizes)
+    and psi correctly drifts AWAY from the target bin: a property of the
+    saturated warm-start objective, not a gradient bug. The reference
+    never saturates (real LINEMOD/YCB-V data, pretrained backbone), so
+    cold start here reproduces the regime its experiments live in."""
     from neuralsim_tpu.bilevel.driver import BilevelDriver
     from neuralsim_tpu.bilevel.psi_init import psi_init
     from neuralsim_tpu.bilevel.psi_opt import psi_optimizer_init
     from neuralsim_tpu.detector.trainer import init_detector
 
-    cfg = (pipeline_cfg if scale == "pipeline" else stub_cfg)(
-        hypergrad_mode, optimization)
+    if scale == "pipeline":
+        cfg = pipeline_cfg(hypergrad_mode, optimization, opt_lr=opt_lr,
+                           n_epochs=n_epochs, ihvp_solver=ihvp_solver)
+    else:
+        cfg = stub_cfg(hypergrad_mode, optimization, opt_lr=opt_lr,
+                       n_epochs=n_epochs, ihvp_solver=ihvp_solver)
     models = scene_models(cfg)
     val = val_from_bin(models, cfg, TARGET_BIN, n_val,
                        jax.random.PRNGKey(100 + seed))
@@ -173,7 +202,9 @@ def run_convergence(hypergrad_mode: str = "influence",
     history = []
     for epoch in range(n_epochs):
         r = drv.run_epoch(epoch, psi, popt, det, save_pngs=False)
-        psi, popt, det = r["psi"], r["psi_opt"], r["detector_state"]
+        psi, popt = r["psi"], r["psi_opt"]
+        if warm_start:
+            det = r["detector_state"]
         probs = np.asarray(r["psi_probs"], np.float64)
         rec = {
             "epoch": epoch,
@@ -183,6 +214,8 @@ def run_convergence(hypergrad_mode: str = "influence",
             "AP50": float(r["map"]["AP50"]),
             "inner_loss": float(r["inner_loss"]),
         }
+        if "grad_psi" in r:
+            rec["grad_l2"] = float(np.linalg.norm(np.asarray(r["grad_psi"])))
         history.append(rec)
         if verbose:
             print(f"  epoch {epoch:3d}  mass[{TARGET_BIN}]="
@@ -200,21 +233,39 @@ def main():
     ap.add_argument("--scale", type=str, default="stub",
                     choices=["stub", "pipeline"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=0.05,
+                    help="psi Adam step size. Adam moves psi ~lr per epoch, "
+                    "so mass must travel ~T*log-odds / lr epochs; 2e-3 "
+                    "(an early default) provably cannot converge in <100 "
+                    "epochs through softmax(psi/0.25).")
+    ap.add_argument("--solver", type=str, default="onestep",
+                    help="influence-mode inverse-HVP solver (onestep | "
+                    "cg | cg_normal | lissa | neumann | identity)")
     ap.add_argument("--skip-ablation", action="store_true")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="chain detector state across epochs (reference "
+                    "parity mode; saturates this synthetic scene — see "
+                    "run_convergence docstring)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     print(f"[convergence] mode={args.mode} scale={args.scale} "
-          f"epochs={args.epochs} target_bin={TARGET_BIN}", flush=True)
+          f"epochs={args.epochs} target_bin={TARGET_BIN} "
+          f"warm_start={args.warm_start}", flush=True)
     hist = run_convergence(args.mode, True, args.epochs, args.seed,
-                           args.scale)
+                           args.scale, opt_lr=args.lr,
+                           warm_start=args.warm_start,
+                           ihvp_solver=args.solver)
 
     result = {"mode": args.mode, "scale": args.scale,
+              "solver": args.solver, "lr": args.lr,
               "target_bin": TARGET_BIN, "optimized": hist}
     if not args.skip_ablation:
         print("[convergence] ablation: optimization=False", flush=True)
         result["ablation"] = run_convergence(
-            args.mode, False, args.epochs, args.seed, args.scale)
+            args.mode, False, args.epochs, args.seed, args.scale,
+            opt_lr=args.lr, warm_start=args.warm_start,
+            ihvp_solver=args.solver)
 
     tail = hist[-5:]
     final_mass = float(np.mean([h["target_mass"] for h in tail]))

@@ -201,3 +201,58 @@ def test_influence_ift_sign_matches_true_gradient(rng):
     true = jax.grad(lambda i: loss_val(A @ i))(img)
     np.testing.assert_allclose(np.asarray(-grad_e_ref), np.asarray(true),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_cg_normal_indefinite_hessian(rng):
+    """cg_normal recovers A^{-1} v (sign-correct) on an INDEFINITE
+    Hessian, the regime where plain cg breaks down and fixed-scale lissa
+    diverges (round-5 scripts/diag_hypergrad_solvers.py finding)."""
+    d = 6
+    Q, _ = np.linalg.qr(rng.randn(d, d))
+    eigs = np.array([4.0, 2.5, 1.5, -0.8, -2.0, -3.5], np.float32)
+    A = (Q @ np.diag(eigs) @ Q.T).astype(np.float32)
+    b = np.zeros(d, np.float32)
+    params = {"theta": jnp.zeros(d, jnp.float32)}
+    batch = (jnp.array(A), jnp.array(b))
+    v_np = rng.randn(d).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+
+    damping = 1e-2
+    out = inverse_hvp(quad_loss, params, batch, v, "cg_normal",
+                      damping=damping, cg_iters=50)
+    A_d = A + damping * np.eye(d, dtype=np.float32)
+    want = np.linalg.solve(A_d @ A_d + damping**2 * np.eye(d), A_d @ v_np)
+    got = np.asarray(out["theta"])
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    # sign-correct: aligned with the true damped inverse
+    truth = np.linalg.solve(A_d, v_np)
+    cos = got @ truth / (np.linalg.norm(got) * np.linalg.norm(truth))
+    assert cos > 0.99
+
+
+def test_lissa_auto_scale_guards_divergence(rng):
+    """With lissa_scale below ||H|| the fixed-scale recursion diverges;
+    lissa_scale<=0 (auto, power-iteration) converges on the same system."""
+    d = 6
+    M = rng.randn(d, d)
+    A = (M @ M.T + 50.0 * np.eye(d)).astype(np.float32)  # SPD, ||A|| >> 25
+    b = np.zeros(d, np.float32)
+    params = {"theta": jnp.zeros(d, jnp.float32)}
+    batch = (jnp.array(A), jnp.array(b))
+    v_np = rng.randn(d).astype(np.float32)
+    v = {"theta": jnp.array(v_np)}
+    damping = 1e-2
+
+    fixed = inverse_hvp(quad_loss, params, batch, v, "lissa",
+                        damping=damping, lissa_iters=80, lissa_scale=25.0)
+    fixed_np = np.asarray(fixed["theta"])
+    want = np.linalg.solve(A + damping * np.eye(d), v_np)
+    fixed_err = np.linalg.norm(fixed_np - want) / np.linalg.norm(want)
+    assert (not np.all(np.isfinite(fixed_np))) or fixed_err > 10.0
+
+    auto = inverse_hvp(quad_loss, params, batch, v, "lissa",
+                       damping=damping, lissa_iters=2000, lissa_scale=-1.0)
+    auto_np = np.asarray(auto["theta"])
+    assert np.all(np.isfinite(auto_np))
+    np.testing.assert_allclose(auto_np, want, rtol=2e-2, atol=1e-4)

@@ -53,3 +53,7 @@ def test_lr_schedule():
     assert abs(adjust_learning_rate(25, 1.0, 50) - 0.5) < 1e-9
     # warmup is linear
     assert abs(adjust_learning_rate(2, 1.0, 50) - 0.4) < 1e-9
+    # clamped at zero past max_epoch: the raw reference formula goes
+    # negative there (gradient ASCENT for any caller running extra epochs)
+    assert adjust_learning_rate(50, 1.0, 50) == 0.0
+    assert adjust_learning_rate(75, 1.0, 50) == 0.0
