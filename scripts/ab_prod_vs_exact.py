@@ -107,8 +107,13 @@ def cosine(a, b) -> float:
 
 
 def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
-           hit_budget_floor: float = 0.45):
-    cfg_exact = stub_cfg("influence", True)
+           hit_budget_floor: float = 0.45, mode: str = "unrolled"):
+    # mode="unrolled" by default: the paired-arm cosine is only a clean
+    # measure of the PRODUCTION-RENDER approximation if the gradient
+    # itself is stable — the influence/onestep chain is sign-unstable on
+    # the indefinite stub Hessian (scripts/diag_hypergrad_solvers.py),
+    # which would fold solver noise into the render-sensitivity number.
+    cfg_exact = stub_cfg(mode, True)
     cfg_prod = dataclasses.replace(
         cfg_exact,
         render=cfg_exact.render.production_mode(
@@ -127,6 +132,7 @@ def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
     g_cos = [cosine(he["grad_psi"], hp["grad_psi"])
              for he, hp in zip(hist_exact, hist_prod)]
     result = {
+        "mode": mode,
         "prod_samples": prod_samples,
         "hit_budget_floor": hit_budget_floor,
         "target_bin": TARGET_BIN,
@@ -152,10 +158,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prod-samples", type=int, default=16)
+    ap.add_argument("--mode", type=str, default="unrolled",
+                    choices=["unrolled", "influence"])
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
-    result = run_ab(args.epochs, args.seed, args.prod_samples)
+    result = run_ab(args.epochs, args.seed, args.prod_samples,
+                    mode=args.mode)
     print(json.dumps(result["summary"]))
     if args.out:
         with open(args.out, "w") as f:

@@ -16,6 +16,23 @@ N epochs; at every state, run ONE paired epoch per influence solver
 record cos(grad_influence, grad_unrolled). The solver ranking decides
 what the convergence demo/test and the production default should use.
 
+FINDINGS (round 5, scripts/results/diag_hypergrad_solvers.json):
+  - Solver layer: plain cg breaks down (NaN: non-SPD curvature) and
+    fixed-scale lissa diverges to 1e36/NaN on the indefinite stub
+    Hessian; cg_normal and lissa_auto (the round-5 additions) stay
+    finite with magnitudes on the oracle's order (0.2-28 vs onestep's
+    1e5-1e6).
+  - Approximation layer: at one of five states (epoch 2) EVERY
+    influence variant — including the sign-correct cg_normal —
+    anti-aligns with the exact gradient (cos ~ -0.98). The IFT chain
+    assumes the inner train reached a stationary minimum; after a
+    12-step cold-start train that assumption fails hard enough to flip
+    the direction, independent of how well H^{-1}v is solved.
+  => The convergence demo/test ride hypergrad_mode="unrolled" (the
+     exact gradient this framework adds over the reference); influence
+     mode stays reference-parity (onestep default) with cg_normal as
+     the robust solver choice when influence is selected.
+
 Run (CPU stub scale):
     PYTHONPATH=. python scripts/diag_hypergrad_solvers.py --epochs 5 \
         --out scripts/results/diag_hypergrad_solvers.json
