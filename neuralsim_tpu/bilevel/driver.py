@@ -151,7 +151,14 @@ class BilevelDriver:
             # the actual hit fraction over poses spanning all azimuth bins
             # and raise the budget to cover it (+25% drift margin) — a
             # budget below the hit fraction silently drops visible rays
-            self.key, cal_key = jax.random.split(self.key)
+            # fold_in, NOT split: construction-time calibration must not
+            # consume the training PRNG stream, or a production driver and
+            # an exact driver with the same seed would draw DIFFERENT pose
+            # noise every epoch — breaking paired A/B comparisons
+            # (scripts/ab_prod_vs_exact.py measured cos ~ -0.2 between
+            # arms purely from this desync) and same-seed reproducibility
+            # across render presets.
+            cal_key = jax.random.fold_in(self.key, 0xCA1)
             cal_noise = draw_pose_noise(cal_key, cfg.sampler, num_k=8)
             cal_poses = poses_from_noise(
                 jnp.full((8,), 0.125), cal_noise, cfg.sampler)

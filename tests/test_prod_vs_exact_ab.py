@@ -1,0 +1,76 @@
+"""Production-vs-exact bilevel A/B (VERDICT r4 #3): the 40 dB pixel
+guard as an end-to-end contract.
+
+Two BilevelDriver arms on the known-optimal-bin scene — exact hierarchical
+renders vs the production preset (occupancy cull + z tightening +
+single-pass march, RenderConfig.production_mode) — with the same PRNG
+key and the same fresh (psi, psi_opt, detector) state. Epoch 0 is
+perfectly paired (identical pose noise, identical detector init), so the
+epoch-0 grad_psi cosine isolates exactly the production approximations:
+grad_E evaluated at production renders + the inner loop trained on them,
+while the strips gradient differentiates the exact-sampling render in
+both arms (bilevel/driver.py [3.2]/[3.3]).
+
+Reference semantics approximated: run_nerf_noscale.py:390-501.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+pytestmark = pytest.mark.slow  # full driver epochs in two render modes
+
+
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def ab_result():
+    from scripts.ab_prod_vs_exact import run_ab
+
+    return run_ab(n_epochs=N_EPOCHS, seed=0)
+
+
+def test_epoch0_grad_cosine(ab_result):
+    """The paired first-epoch hypergradient directions agree: production
+    data generation does not change what psi learns."""
+    assert ab_result["grad_cosine_epoch0"] > 0.9, (
+        ab_result["grad_cosine_per_epoch"])
+
+
+def test_trajectories_stay_finite_and_comparable(ab_result):
+    for arm in ("exact", "production"):
+        for h in ab_result[arm]:
+            assert np.isfinite(h["AP50"]) and np.isfinite(h["target_mass"])
+            assert all(np.isfinite(g) for g in h["grad_psi"])
+    s = ab_result["summary"]
+    assert abs(s["final_AP50_exact"] - s["final_AP50_prod"]) <= 30.0, s
+
+
+def test_calibration_does_not_consume_training_prng():
+    """Production-driver construction (occupancy calibration probe) must
+    leave the training PRNG stream untouched: same seed => same pose
+    noise as an exact driver every epoch. Regression for the desync that
+    made the first A/B cosines meaningless (driver.py fold_in fix)."""
+    import dataclasses
+
+    import jax
+
+    from scripts.ab_prod_vs_exact import make_driver
+    from scripts.demo_convergence import (
+        TARGET_BIN, scene_models, stub_cfg, val_from_bin)
+
+    cfg_exact = stub_cfg("unrolled", True)
+    cfg_prod = dataclasses.replace(
+        cfg_exact, render=cfg_exact.render.production_mode(
+            n_samples=16, hit_budget_floor=0.45))
+    models = scene_models(cfg_exact)
+    val = val_from_bin(models, cfg_exact, TARGET_BIN, 2,
+                       jax.random.PRNGKey(100))
+    drv_e = make_driver(cfg_exact, models, val, seed=0)
+    drv_p = make_driver(cfg_prod, models, val, seed=0)
+    assert np.array_equal(np.asarray(drv_e.key), np.asarray(drv_p.key))
