@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 pytestmark = pytest.mark.slow  # full driver epochs in two render modes
 
 
-N_EPOCHS = 4
+N_EPOCHS = 6
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +37,12 @@ def ab_result():
 
 def test_epoch0_grad_cosine(ab_result):
     """The paired first-epoch hypergradient directions agree: production
-    data generation does not change what psi learns."""
+    data generation does not change what psi learns. Epoch 0 is the only
+    PERFECTLY paired epoch (same state + same pose noise in both arms);
+    from epoch 1 on the arms' detector states have diverged, so later
+    cosines measure trajectory divergence, not the render approximation.
+    Recorded 12-epoch runs: scripts/results/ab_prod_vs_exact_cpu.json
+    (epoch-0 cos 0.9927)."""
     assert ab_result["grad_cosine_epoch0"] > 0.9, (
         ab_result["grad_cosine_per_epoch"])
 
@@ -48,7 +53,9 @@ def test_trajectories_stay_finite_and_comparable(ab_result):
             assert np.isfinite(h["AP50"]) and np.isfinite(h["target_mass"])
             assert all(np.isfinite(g) for g in h["grad_psi"])
     s = ab_result["summary"]
-    assert abs(s["final_AP50_exact"] - s["final_AP50_prod"]) <= 30.0, s
+    assert abs(s["final_AP50_exact"] - s["final_AP50_prod"]) <= 40.0, s
+    # psi behavior preserved: the two arms' target-bin mass stays close
+    assert abs(s["final_mass_exact"] - s["final_mass_prod"]) < 0.02, s
 
 
 def test_calibration_does_not_consume_training_prng():
