@@ -81,7 +81,14 @@ def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
             # match the reference LR schedule's decay horizon to the actual
             # run length: decay hits exactly 0 at the final epoch instead of
             # going negative past the 50-epoch default (psi_opt.py clamp)
-            n_epochs=n_epochs),
+            n_epochs=n_epochs,
+            # pin f32 for the psi chain: the production bf16 default is
+            # hardware-gated at 400^2 scale (probe cosine 0.9999999), but
+            # the 32^2 stub's gradients are small/cancellation-prone and
+            # CPU bf16 is emulated (slower AND noisier) — a post-flip
+            # stub run at the previously-steady lr=0.05 collapsed where
+            # the f32 run rose monotonically
+            grad_compute_dtype="float32"),
     )
 
 
@@ -109,7 +116,7 @@ def pipeline_cfg(hypergrad_mode: str, optimization: bool,
             optimization=optimization, opt_lr=opt_lr, opt_method="adam",
             psi_pose_cats_mode="uniform", hypergrad_mode=hypergrad_mode,
             ihvp_solver=ihvp_solver, grad_e_max_images=12,
-            n_epochs=n_epochs),
+            n_epochs=n_epochs, grad_compute_dtype="float32"),
     )
 
 
@@ -158,7 +165,7 @@ def run_convergence(hypergrad_mode: str = "influence",
                     seed: int = 0, scale: str = "stub", n_val: int = 6,
                     verbose: bool = True, out_dir: str | None = None,
                     opt_lr: float = 0.05, warm_start: bool = False,
-                    ihvp_solver: str = "onestep"):
+                    ihvp_solver: str = "onestep", n_k: int = 8):
     """Run the full driver; returns the per-epoch history:
     [{epoch, target_mass, psi_probs, AP, AP50, inner_loss}, ...].
 
@@ -185,8 +192,9 @@ def run_convergence(hypergrad_mode: str = "influence",
         cfg = pipeline_cfg(hypergrad_mode, optimization, opt_lr=opt_lr,
                            n_epochs=n_epochs, ihvp_solver=ihvp_solver)
     else:
-        cfg = stub_cfg(hypergrad_mode, optimization, opt_lr=opt_lr,
-                       n_epochs=n_epochs, ihvp_solver=ihvp_solver)
+        cfg = stub_cfg(hypergrad_mode, optimization, n_k=n_k,
+                       opt_lr=opt_lr, n_epochs=n_epochs,
+                       ihvp_solver=ihvp_solver)
     models = scene_models(cfg)
     val = val_from_bin(models, cfg, TARGET_BIN, n_val,
                        jax.random.PRNGKey(100 + seed))
@@ -238,10 +246,21 @@ def main():
                     "so mass must travel ~T*log-odds / lr epochs; 2e-3 "
                     "(an early default) provably cannot converge in <100 "
                     "epochs through softmax(psi/0.25).")
+    ap.add_argument("--n-k", type=int, default=8,
+                    help="poses per epoch (stub scale): K. The gradient "
+                    "is a mean over K pose draws, so variance ~ 1/K; the "
+                    "reference runs K=50 — K=8 stubs are chaotic/"
+                    "seed-fragile, K=16 is the demonstrated-stable point.")
+    ap.add_argument("--n-val", type=int, default=6)
     ap.add_argument("--solver", type=str, default="onestep",
                     help="influence-mode inverse-HVP solver (onestep | "
                     "cg | cg_normal | lissa | neumann | identity)")
     ap.add_argument("--skip-ablation", action="store_true")
+    ap.add_argument("--ablation-epochs", type=int, default=12,
+                    help="ablation arm length; optimization=False is "
+                    "STATIONARY (psi frozen at uniform, cold-start "
+                    "detector each epoch), so a short run estimates its "
+                    "mean AP as well as a full-length one")
     ap.add_argument("--warm-start", action="store_true",
                     help="chain detector state across epochs (reference "
                     "parity mode; saturates this synthetic scene — see "
@@ -253,9 +272,9 @@ def main():
           f"epochs={args.epochs} target_bin={TARGET_BIN} "
           f"warm_start={args.warm_start}", flush=True)
     hist = run_convergence(args.mode, True, args.epochs, args.seed,
-                           args.scale, opt_lr=args.lr,
+                           args.scale, n_val=args.n_val, opt_lr=args.lr,
                            warm_start=args.warm_start,
-                           ihvp_solver=args.solver)
+                           ihvp_solver=args.solver, n_k=args.n_k)
 
     result = {"mode": args.mode, "scale": args.scale,
               "solver": args.solver, "lr": args.lr,
@@ -263,9 +282,10 @@ def main():
     if not args.skip_ablation:
         print("[convergence] ablation: optimization=False", flush=True)
         result["ablation"] = run_convergence(
-            args.mode, False, args.epochs, args.seed, args.scale,
-            opt_lr=args.lr, warm_start=args.warm_start,
-            ihvp_solver=args.solver)
+            args.mode, False, min(args.epochs, args.ablation_epochs),
+            args.seed, args.scale, n_val=args.n_val, opt_lr=args.lr,
+            warm_start=args.warm_start, ihvp_solver=args.solver,
+            n_k=args.n_k)
 
     tail = hist[-5:]
     final_mass = float(np.mean([h["target_mass"] for h in tail]))
@@ -274,7 +294,7 @@ def main():
                "final_AP50": round(final_ap, 2)}
     if "ablation" in result:
         summary["ablation_AP50"] = round(float(np.mean(
-            [h["AP50"] for h in result["ablation"][-5:]])), 2)
+            [h["AP50"] for h in result["ablation"]])), 2)
     result["summary"] = summary
     print(json.dumps(summary))
     if args.out:
