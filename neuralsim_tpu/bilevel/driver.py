@@ -59,6 +59,7 @@ from neuralsim_tpu.ops.render import render_poses, to8b
 from neuralsim_tpu.sampler.poses import (
     draw_pose_noise,
     draw_pose_noise_gaussian,
+    explore_mix_psi,
     psi_to_probs,
 )
 from neuralsim_tpu.utils.logging import ResultLog, map_result_str, torch_tensor_str
@@ -592,12 +593,20 @@ class BilevelDriver:
         cfg = self.cfg
         bc, sc, dc = cfg.bilevel, cfg.sampler, cfg.detector
 
-        # [1] render K images from psi
+        # [1] render K images from psi. With an exploration floor
+        # (bc.explore_eps > 0), every psi-consuming path below — sampling,
+        # renders, cull guard, strips gradient — sees psi_eff, the logits
+        # of the eps-mixed distribution (sampler/poses.py:explore_mix_psi);
+        # the [3.3] gradient is chained back to raw psi before [3.4], and
+        # reporting/checkpointing stay in raw psi.
         self.key, k_noise, k_batch, k_hvp = jax.random.split(self.key, 4)
         noise = (draw_pose_noise_gaussian(k_noise, sc)
                  if bc.psi_mode == "gaussian" else draw_pose_noise(k_noise, sc))
+        psi_eff = psi
+        if bc.psi_mode == "categorical" and bc.explore_eps > 0.0:
+            psi_eff = explore_mix_psi(psi, sc, bc.explore_eps)
         with phase_timer("render"):
-            renders, occ_hit, occ_budget = self._do_render(psi, noise)
+            renders, occ_hit, occ_budget = self._do_render(psi_eff, noise)
         if self.grid is not None:
             # ONE small transfer (two int32s); warn + recalibrate if the
             # static budget dropped visible rays this epoch (ADVICE r2).
@@ -612,9 +621,10 @@ class BilevelDriver:
                                               int(budget_np.sum())):
                     break
                 with phase_timer("render"):
-                    renders, occ_hit, occ_budget = self._do_render(psi, noise)
+                    renders, occ_hit, occ_budget = self._do_render(psi_eff,
+                                                                   noise)
             if epoch == 0:
-                self._first_epoch_cull_guard(psi, noise, renders)
+                self._first_epoch_cull_guard(psi_eff, noise, renders)
 
         if save_pngs:
             self._save_renders(renders, epoch)
@@ -786,7 +796,7 @@ class BilevelDriver:
                 if ghb < 0:      # track the calibrated forward budget
                     ghb = self.rc_test.hit_budget
                 grad_psi = render_grad_psi_strips(
-                    self.nerf_models, psi, noise_ge, grad_E[:n_ge],
+                    self.nerf_models, psi_eff, noise_ge, grad_E[:n_ge],
                     cfg.camera.height, cfg.camera.width, cfg.camera.K,
                     cfg.net, rc_grad, cfg.sampler, psi_mode=bc.psi_mode,
                     strip=bc.grad_ray_chunk,
@@ -811,13 +821,20 @@ class BilevelDriver:
                     noise_g = jax.tree_util.tree_map(
                         lambda x: x[start:stop], noise_ge
                     )
-                    g = self._render_grad_fn(psi, noise_g, grad_E[start:stop])
+                    g = self._render_grad_fn(psi_eff, noise_g,
+                                             grad_E[start:stop])
                     grads.append(g)
                     weights.append(stop - start)
                 total = sum(weights)
                 grad_psi = sum(
                     g * (w / total) for g, w in zip(grads, weights)
                 )
+
+        if psi_eff is not psi:
+            # chain d psi_eff / d psi: an 8-dim vjp of the mix map
+            _, mix_vjp = jax.vjp(
+                lambda q: explore_mix_psi(q, sc, bc.explore_eps), psi)
+            grad_psi = mix_vjp(grad_psi)[0]
 
         # [3.4] update psi + schedule. Nonfinite guard first: a diverged
         # IHVP solver (plain cg / fixed-scale lissa on an indefinite

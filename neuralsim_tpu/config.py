@@ -325,6 +325,14 @@ class BilevelConfig:
     # +1.0 reproduces the reference's raw convention.
     influence_sign: float = -1.0
     grad_e_max_images: int = 100        # reference cap (neural_sim_main.py:876)
+    # exploration floor on the pose-sampling distribution (categorical psi
+    # only): sample/render/differentiate at (1-eps)*softmax(psi/T) +
+    # eps/n_bins instead of the raw softmax, with the gradient chained
+    # back to raw psi (sampler/poses.py:explore_mix_psi). Removes the
+    # wrong-bin collapse trap of the bilevel dynamics (a concentrated-off-
+    # target psi keeps >= eps/n_bins mass on every bin, so the recovery
+    # gradient never vanishes). 0.0 (default) = reference parity.
+    explore_eps: float = 0.0
     # psi render-gradient mode:
     #   "strips" (default): host loop over (image, pixel strip); every
     #     compiled program is one scan-free single-tile reverse-mode render.

@@ -12,6 +12,7 @@ from neuralsim_tpu.sampler.poses import (
     poses_from_noise_gaussian,
     sample_poses,
     sample_poses_gaussian,
+    explore_mix_psi,
     psi_to_probs,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "poses_from_noise_gaussian",
     "sample_poses",
     "sample_poses_gaussian",
+    "explore_mix_psi",
     "psi_to_probs",
 ]

@@ -104,6 +104,27 @@ def psi_to_probs(psi, sc: SamplerConfig):
     return jax.nn.softmax(psi / sc.softmax_temperature)
 
 
+def explore_mix_psi(psi, sc: SamplerConfig, eps: float):
+    """Exploration floor: logits whose softmax IS the eps-mixed sampling
+    distribution (1-eps)*softmax(psi/T) + eps/n_bins.
+
+    Passing the returned logits anywhere raw psi is consumed makes every
+    sampling/render/gradient path draw from the mixed distribution with
+    NO change to that machinery (softmax(T*log(p)/T) == p for normalized
+    p); chain back to raw psi with an 8-dim vjp of this function. The
+    floor removes the wrong-bin collapse trap observed in the round-5
+    convergence runs: once softmax(psi) concentrates off-target, the
+    soft weights of target-bin poses vanish (grad_l2 ~ 1e-3) and the
+    outer loop can never recover — with the floor every bin keeps
+    >= eps/n_bins sampling mass, so recovery signal survives. eps also
+    lower-bounds probs, so the log-clamp guard below never engages.
+    No reference analog (the reference samples softmax(psi) directly);
+    default off (BilevelConfig.explore_eps = 0)."""
+    p = psi_to_probs(psi, sc)
+    p_mix = (1.0 - eps) * p + eps / p.shape[-1]
+    return sc.softmax_temperature * jnp.log(p_mix)
+
+
 def bin_centers(sc: SamplerConfig):
     return jnp.arange(sc.n_bins) * sc.bin_width_deg + sc.bin_offset_deg
 

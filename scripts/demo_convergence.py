@@ -56,7 +56,7 @@ TARGET_BIN = 4  # center 202.5 deg — mid-range, away from the linear-mix edge
 
 def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
              opt_lr: float = 2e-3, n_epochs: int = 50,
-             ihvp_solver: str = "onestep"):
+             ihvp_solver: str = "onestep", explore_eps: float = 0.0):
     from neuralsim_tpu.config import (
         BilevelConfig, CameraConfig, DetectorConfig, NeRFNetConfig,
         NeuralSimConfig, RenderConfig, SamplerConfig,
@@ -81,7 +81,7 @@ def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
             # match the reference LR schedule's decay horizon to the actual
             # run length: decay hits exactly 0 at the final epoch instead of
             # going negative past the 50-epoch default (psi_opt.py clamp)
-            n_epochs=n_epochs,
+            n_epochs=n_epochs, explore_eps=explore_eps,
             # pin f32 for the psi chain: the production bf16 default is
             # hardware-gated at 400^2 scale (probe cosine 0.9999999), but
             # the 32^2 stub's gradients are small/cancellation-prone and
@@ -94,7 +94,7 @@ def stub_cfg(hypergrad_mode: str, optimization: bool, n_k: int = 8,
 
 def pipeline_cfg(hypergrad_mode: str, optimization: bool,
                  opt_lr: float = 0.05, n_epochs: int = 50,
-                 ihvp_solver: str = "onestep"):
+                 ihvp_solver: str = "onestep", explore_eps: float = 0.0):
     """North-star pipeline shape: 100^2 renders (the reference's default
     pipeline resolution, load_LINEMOD_noscale.py:185-192), K=50 poses,
     full-size NeRF MLP, R50-FPN RetinaNet, 50-step inner train."""
@@ -116,7 +116,8 @@ def pipeline_cfg(hypergrad_mode: str, optimization: bool,
             optimization=optimization, opt_lr=opt_lr, opt_method="adam",
             psi_pose_cats_mode="uniform", hypergrad_mode=hypergrad_mode,
             ihvp_solver=ihvp_solver, grad_e_max_images=12,
-            n_epochs=n_epochs, grad_compute_dtype="float32"),
+            n_epochs=n_epochs, explore_eps=explore_eps,
+            grad_compute_dtype="float32"),
     )
 
 
@@ -165,7 +166,8 @@ def run_convergence(hypergrad_mode: str = "influence",
                     seed: int = 0, scale: str = "stub", n_val: int = 6,
                     verbose: bool = True, out_dir: str | None = None,
                     opt_lr: float = 0.05, warm_start: bool = False,
-                    ihvp_solver: str = "onestep", n_k: int = 8):
+                    ihvp_solver: str = "onestep", n_k: int = 8,
+                    explore_eps: float = 0.0):
     """Run the full driver; returns the per-epoch history:
     [{epoch, target_mass, psi_probs, AP, AP50, inner_loss}, ...].
 
@@ -190,11 +192,12 @@ def run_convergence(hypergrad_mode: str = "influence",
 
     if scale == "pipeline":
         cfg = pipeline_cfg(hypergrad_mode, optimization, opt_lr=opt_lr,
-                           n_epochs=n_epochs, ihvp_solver=ihvp_solver)
+                           n_epochs=n_epochs, ihvp_solver=ihvp_solver,
+                           explore_eps=explore_eps)
     else:
         cfg = stub_cfg(hypergrad_mode, optimization, n_k=n_k,
                        opt_lr=opt_lr, n_epochs=n_epochs,
-                       ihvp_solver=ihvp_solver)
+                       ihvp_solver=ihvp_solver, explore_eps=explore_eps)
     models = scene_models(cfg)
     val = val_from_bin(models, cfg, TARGET_BIN, n_val,
                        jax.random.PRNGKey(100 + seed))
@@ -252,6 +255,13 @@ def main():
                     "reference runs K=50 — K=8 stubs are chaotic/"
                     "seed-fragile, K=16 is the demonstrated-stable point.")
     ap.add_argument("--n-val", type=int, default=6)
+    ap.add_argument("--explore-eps", type=float, default=0.1,
+                    help="exploration floor on the sampling distribution "
+                    "(BilevelConfig.explore_eps). The bilevel dynamics "
+                    "have a wrong-bin collapse trap (soft weights on "
+                    "target poses vanish once psi concentrates "
+                    "off-target); the floor keeps recovery signal alive. "
+                    "0 = reference parity.")
     ap.add_argument("--solver", type=str, default="onestep",
                     help="influence-mode inverse-HVP solver (onestep | "
                     "cg | cg_normal | lissa | neumann | identity)")
@@ -274,7 +284,8 @@ def main():
     hist = run_convergence(args.mode, True, args.epochs, args.seed,
                            args.scale, n_val=args.n_val, opt_lr=args.lr,
                            warm_start=args.warm_start,
-                           ihvp_solver=args.solver, n_k=args.n_k)
+                           ihvp_solver=args.solver, n_k=args.n_k,
+                           explore_eps=args.explore_eps)
 
     result = {"mode": args.mode, "scale": args.scale,
               "solver": args.solver, "lr": args.lr,
@@ -285,7 +296,7 @@ def main():
             args.mode, False, min(args.epochs, args.ablation_epochs),
             args.seed, args.scale, n_val=args.n_val, opt_lr=args.lr,
             warm_start=args.warm_start, ihvp_solver=args.solver,
-            n_k=args.n_k)
+            n_k=args.n_k, explore_eps=args.explore_eps)
 
     tail = hist[-5:]
     final_mass = float(np.mean([h["target_mass"] for h in tail]))

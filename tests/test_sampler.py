@@ -199,3 +199,48 @@ def test_saturated_psi_keeps_finite_gradient():
 
     g = np.asarray(jax.grad(loss)(psi))
     assert np.isfinite(g).all(), g
+
+
+def test_explore_mix_psi_is_the_mixed_distribution():
+    """softmax(explore_mix_psi(psi)/T) == (1-eps)*softmax(psi/T) + eps/8,
+    and the chained gradient through the mix map matches directly
+    differentiating the mixed objective (the driver's psi_eff + vjp
+    pattern, bilevel/driver.py run_epoch)."""
+    import jax
+
+    from neuralsim_tpu.config import SamplerConfig
+    from neuralsim_tpu.sampler.poses import (
+        draw_pose_noise,
+        explore_mix_psi,
+        poses_from_noise,
+        psi_to_probs,
+    )
+
+    sc = SamplerConfig()
+    eps = 0.125
+    psi = jnp.array([1.2, -0.4, 0.3, 0.0, 2.0, -1.0, 0.6, -0.2], jnp.float32)
+    p_mix_direct = (1 - eps) * psi_to_probs(psi, sc) + eps / 8.0
+    p_mix_via_logits = psi_to_probs(explore_mix_psi(psi, sc, eps), sc)
+    np.testing.assert_allclose(np.asarray(p_mix_via_logits),
+                               np.asarray(p_mix_direct), rtol=1e-6)
+
+    noise = draw_pose_noise(jax.random.PRNGKey(3), sc, num_k=4)
+
+    def loss_of_logits(q):
+        poses = poses_from_noise(psi_to_probs(q, sc), noise, sc)
+        return jnp.sum(poses[:, :3, 3] ** 2)
+
+    # driver pattern: grad at psi_eff, chained back by the mix vjp
+    g_eff = jax.grad(loss_of_logits)(explore_mix_psi(psi, sc, eps))
+    _, vjp = jax.vjp(lambda q: explore_mix_psi(q, sc, eps), psi)
+    g_chained = vjp(g_eff)[0]
+    # oracle: differentiate the composed map directly
+    g_direct = jax.grad(
+        lambda q: loss_of_logits(explore_mix_psi(q, sc, eps)))(psi)
+    np.testing.assert_allclose(np.asarray(g_chained), np.asarray(g_direct),
+                               rtol=1e-5, atol=1e-7)
+
+    # the floor holds even for a saturated psi: min sampling mass >= eps/8
+    psi_sat = jnp.zeros(8).at[0].set(40.0)
+    p_sat = psi_to_probs(explore_mix_psi(psi_sat, sc, eps), sc)
+    assert float(p_sat.min()) >= eps / 8.0 * 0.999
