@@ -43,6 +43,11 @@ pytestmark = pytest.mark.slow  # tens of full driver epochs
 # target-bin poses -> 0, grad_l2 ~ 1e-3).
 N_EPOCHS = 30
 LR = 0.05
+# K=16 (variance: the gradient is a K-draw mean; the reference's own K is
+# 50) + a 0.1 exploration floor (BilevelConfig.explore_eps) — the
+# demonstrated-robust configuration; K=8 floorless runs are seed-fragile
+# (2 of 3 lr=0.05 runs fell into the wrong-bin collapse trap).
+EPS = 0.1
 UNIFORM = 1.0 / 8.0
 
 
@@ -51,7 +56,8 @@ def optimized_history():
     from scripts.demo_convergence import run_convergence
 
     return run_convergence("unrolled", True, n_epochs=N_EPOCHS,
-                           seed=0, scale="stub", verbose=False, opt_lr=LR)
+                           seed=0, scale="stub", verbose=False, opt_lr=LR,
+                           n_k=16, explore_eps=EPS)
 
 
 def test_psi_concentrates_on_target_bin(optimized_history):
@@ -87,7 +93,7 @@ def test_optimization_beats_ablation(optimized_history):
 
     ablation = run_convergence("unrolled", False, n_epochs=8,
                                seed=0, scale="stub", verbose=False,
-                               opt_lr=LR)
+                               opt_lr=LR, n_k=16, explore_eps=EPS)
     # the ablation's psi never moves
     abl_mass = [h["target_mass"] for h in ablation]
     assert max(abs(m - UNIFORM) for m in abl_mass) < 1e-5
