@@ -107,13 +107,20 @@ def cosine(a, b) -> float:
 
 
 def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
-           hit_budget_floor: float = 0.45, mode: str = "unrolled"):
+           hit_budget_floor: float = 0.45, mode: str = "unrolled",
+           det_iters: int = 20):
     # mode="unrolled" by default: the paired-arm cosine is only a clean
     # measure of the PRODUCTION-RENDER approximation if the gradient
     # itself is stable — the influence/onestep chain is sign-unstable on
     # the indefinite stub Hessian (scripts/diag_hypergrad_solvers.py),
     # which would fold solver noise into the render-sensitivity number.
-    cfg_exact = stub_cfg(mode, True)
+    # det_iters=20 for the same reason, measured the hard way: at the
+    # 12-step inner train the bin landscape is nearly flat (bin_landscape,
+    # demo_convergence.py) and the epoch-0 hypergradient is a chaotic
+    # two-bin dipole — backend-level precision differences alone flipped
+    # its sign (CPU +0.99 vs TPU -0.99 on identical code/seeds). At 20
+    # steps the objective separates 7x and the gradient carries signal.
+    cfg_exact = stub_cfg(mode, True, det_iters=det_iters)
     cfg_prod = dataclasses.replace(
         cfg_exact,
         render=cfg_exact.render.production_mode(
@@ -133,6 +140,7 @@ def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
              for he, hp in zip(hist_exact, hist_prod)]
     result = {
         "mode": mode,
+        "det_iters": det_iters,
         "prod_samples": prod_samples,
         "hit_budget_floor": hit_budget_floor,
         "target_bin": TARGET_BIN,
@@ -160,11 +168,12 @@ def main():
     ap.add_argument("--prod-samples", type=int, default=16)
     ap.add_argument("--mode", type=str, default="unrolled",
                     choices=["unrolled", "influence"])
+    ap.add_argument("--det-iters", type=int, default=20)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     result = run_ab(args.epochs, args.seed, args.prod_samples,
-                    mode=args.mode)
+                    mode=args.mode, det_iters=args.det_iters)
     print(json.dumps(result["summary"]))
     if args.out:
         with open(args.out, "w") as f:
