@@ -50,12 +50,22 @@ NORTH_STAR_RAYS_PER_SEC = 5.0e6
 
 
 def box_scene_params(net, key, half=0.06, density=80.0,
-                     center=(0.0, 0.0, 0.0)):
+                     center=(0.0, 0.0, 0.0), view_gate=0.0):
     """Full-size NeRF MLP computing an EXACT box density:
     sigma = density * relu(1 - 50 * sum_axes relu(|coord - center| - half)),
     zero outside the box — hand-constructed weights (PE rows 0-2 are the raw
     coords), layers 1..7 pass the 7 carrier units through identity blocks,
-    layer 7 computes the gate. Per-ray FLOPs equal a real checkpoint's."""
+    layer 7 computes the gate. Per-ray FLOPs equal a real checkpoint's.
+
+    view_gate != 0 makes the rgb VIEW-DEPENDENT instead of gray-ish
+    random: rgb = sigmoid(c * relu(1 + view_gate * dir_x) - 4), i.e. the
+    box is bright when viewed from one azimuth side (dir_x * sign(
+    view_gate) > 0) and near-black (invisible against the black
+    background) from the other. Exercises the views branch end-to-end,
+    and gives pose-optimization demos a scene whose val set is
+    UNLEARNABLE without training views from the right azimuth arc
+    (the MARGINAL value of wrong-side views is ~0 — they render no
+    visible object)."""
     from neuralsim_tpu.models.nerf import init_nerf_params
 
     params = init_nerf_params(key, net)
@@ -63,6 +73,22 @@ def box_scene_params(net, key, half=0.06, density=80.0,
     params = {k: v * (0.01 if k.startswith(("feature", "views", "rgb"))
                       else 0.0)
               for k, v in params.items()}
+    if view_gate:
+        w = net.netwidth
+        params["feature_kernel"] = jnp.zeros_like(params["feature_kernel"])
+        params["feature_bias"] = jnp.zeros_like(params["feature_bias"])
+        vk = jnp.zeros_like(params["views_0_kernel"])
+        # d_pe's first 3 rows are the raw direction (include_input);
+        # route dir_x into view unit 0 with a +1 bias so relu passes a
+        # signed-by-view response: unit0 = relu(1 + view_gate * dir_x)
+        vk = vk.at[w + 0, 0].set(float(view_gate))
+        params["views_0_kernel"] = vk
+        params["views_0_bias"] = (
+            jnp.zeros_like(params["views_0_bias"]).at[0].set(1.0))
+        rk = jnp.zeros_like(params["rgb_kernel"])
+        rk = rk.at[0, 0].set(2.0).at[0, 1].set(1.7).at[0, 2].set(1.2)
+        params["rgb_kernel"] = rk
+        params["rgb_bias"] = jnp.full_like(params["rgb_bias"], -4.0)
     in_ch = net.input_ch
     w = net.netwidth
     depth = net.netdepth

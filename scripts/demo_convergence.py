@@ -123,7 +123,8 @@ def pipeline_cfg(hypergrad_mode: str, optimization: bool,
     )
 
 
-def scene_models(cfg, half=0.08, center=(0.2, 0.0, 0.0)):
+def scene_models(cfg, half=0.08, center=(0.2, 0.0, 0.0),
+                 view_gate=0.0):
     """Exact off-center box whose frame appearance is azimuth-dependent:
     with theta ~ 90 deg the camera orbits the x-z plane (sampler/poses.py
     conventions), so a +x offset moves the object across the frame and
@@ -134,7 +135,7 @@ def scene_models(cfg, half=0.08, center=(0.2, 0.0, 0.0)):
     from bench import box_scene_params
 
     params = box_scene_params(cfg.net, jax.random.PRNGKey(0), half=half,
-                              center=center)
+                              center=center, view_gate=view_gate)
     return {"coarse": params, "fine": params}
 
 
@@ -234,7 +235,8 @@ def run_convergence(hypergrad_mode: str = "influence",
                     opt_lr: float = 0.05, warm_start: bool = False,
                     ihvp_solver: str = "onestep", n_k: int = 8,
                     explore_eps: float = 0.0, det_iters: int = 12,
-                    center_x: float = 0.2, lr_horizon: int | None = None):
+                    center_x: float = 0.2, lr_horizon: int | None = None,
+                    view_gate: float = 0.0):
     """Run the full driver; returns the per-epoch history:
     [{epoch, target_mass, psi_probs, AP, AP50, inner_loss}, ...].
 
@@ -269,7 +271,8 @@ def run_convergence(hypergrad_mode: str = "influence",
                        opt_lr=opt_lr, n_epochs=horizon,
                        ihvp_solver=ihvp_solver, explore_eps=explore_eps,
                        det_iters=det_iters)
-    models = scene_models(cfg, center=(center_x, 0.0, 0.0))
+    models = scene_models(cfg, center=(center_x, 0.0, 0.0),
+                          view_gate=view_gate)
     val = val_from_bin(models, cfg, TARGET_BIN, n_val,
                        jax.random.PRNGKey(100 + seed))
     drv = BilevelDriver(cfg, models, val, key=jax.random.PRNGKey(seed),
@@ -329,6 +332,12 @@ def main():
     ap.add_argument("--det-iters", type=int, default=12,
                     help="stub inner-train steps (longer = stronger, less "
                     "noisy epoch signal at ~linear epoch cost)")
+    ap.add_argument("--view-gate", type=float, default=0.0,
+                    help="view-dependent box color (bench.box_scene_params"
+                    " view_gate): -5 lights the bins-3/4 azimuth arc and "
+                    "makes the box near-invisible from the far side, so "
+                    "val is UNLEARNABLE without target-arc training views "
+                    "— the scene for the convergence demonstration")
     ap.add_argument("--center-x", type=float, default=0.2,
                     help="scene box +x offset; larger = stronger azimuth "
                     "dependence of frame appearance = stronger "
@@ -365,7 +374,8 @@ def main():
                            ihvp_solver=args.solver, n_k=args.n_k,
                            explore_eps=args.explore_eps,
                            det_iters=args.det_iters,
-                           center_x=args.center_x)
+                           center_x=args.center_x,
+                           view_gate=args.view_gate)
 
     result = {"mode": args.mode, "scale": args.scale,
               "solver": args.solver, "lr": args.lr,
@@ -377,7 +387,8 @@ def main():
             args.seed, args.scale, n_val=args.n_val, opt_lr=args.lr,
             warm_start=args.warm_start, ihvp_solver=args.solver,
             n_k=args.n_k, explore_eps=args.explore_eps,
-            det_iters=args.det_iters, center_x=args.center_x)
+            det_iters=args.det_iters, center_x=args.center_x,
+            view_gate=args.view_gate)
 
     tail = hist[-5:]
     final_mass = float(np.mean([h["target_mass"] for h in tail]))
