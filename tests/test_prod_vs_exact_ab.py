@@ -41,8 +41,11 @@ def test_epoch0_grad_cosine(ab_result):
     PERFECTLY paired epoch (same state + same pose noise in both arms);
     from epoch 1 on the arms' detector states have diverged, so later
     cosines measure trajectory divergence, not the render approximation.
-    Recorded 12-epoch runs: scripts/results/ab_prod_vs_exact_cpu.json
-    (epoch-0 cos 0.9927)."""
+    Recorded runs: scripts/results/ab_prod_vs_exact_cpu.json (epoch-0
+    cos +0.9987 at the 20-step inner train this module uses; the
+    archived det12 runs and the stub-on-TPU run record the flat-regime
+    caveat — there the dipole-shaped gradient's sign is
+    backend-sensitive, see ab_prod_vs_exact_*_det12.json)."""
     assert ab_result["grad_cosine_epoch0"] > 0.9, (
         ab_result["grad_cosine_per_epoch"])
 
