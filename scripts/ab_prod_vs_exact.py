@@ -53,6 +53,7 @@ import numpy as np
 
 from scripts.demo_convergence import (  # noqa: E402
     TARGET_BIN,
+    pipeline_cfg,
     scene_models,
     stub_cfg,
     val_from_bin,
@@ -108,7 +109,7 @@ def cosine(a, b) -> float:
 
 def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
            hit_budget_floor: float = 0.45, mode: str = "unrolled",
-           det_iters: int = 20):
+           det_iters: int = 20, scale: str = "stub"):
     # mode="unrolled" by default: the paired-arm cosine is only a clean
     # measure of the PRODUCTION-RENDER approximation if the gradient
     # itself is stable — the influence/onestep chain is sign-unstable on
@@ -120,7 +121,11 @@ def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
     # two-bin dipole — backend-level precision differences alone flipped
     # its sign (CPU +0.99 vs TPU -0.99 on identical code/seeds). At 20
     # steps the objective separates 7x and the gradient carries signal.
-    cfg_exact = stub_cfg(mode, True, det_iters=det_iters)
+    # scale="pipeline": the north-star 100^2 / K=50 / R50-FPN shape —
+    # the regime whose pairing the ROADMAP flags as the stable contract
+    # statement (stub 32^2 dipole gradients are backend-sensitive).
+    cfg_exact = (pipeline_cfg(mode, True) if scale == "pipeline"
+                 else stub_cfg(mode, True, det_iters=det_iters))
     cfg_prod = dataclasses.replace(
         cfg_exact,
         render=cfg_exact.render.production_mode(
@@ -140,6 +145,7 @@ def run_ab(n_epochs: int = 12, seed: int = 0, prod_samples: int = 16,
              for he, hp in zip(hist_exact, hist_prod)]
     result = {
         "mode": mode,
+        "scale": scale,
         "det_iters": det_iters,
         "prod_samples": prod_samples,
         "hit_budget_floor": hit_budget_floor,
@@ -169,11 +175,14 @@ def main():
     ap.add_argument("--mode", type=str, default="unrolled",
                     choices=["unrolled", "influence"])
     ap.add_argument("--det-iters", type=int, default=20)
+    ap.add_argument("--scale", type=str, default="stub",
+                    choices=["stub", "pipeline"])
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     result = run_ab(args.epochs, args.seed, args.prod_samples,
-                    mode=args.mode, det_iters=args.det_iters)
+                    mode=args.mode, det_iters=args.det_iters,
+                    scale=args.scale)
     print(json.dumps(result["summary"]))
     if args.out:
         with open(args.out, "w") as f:
