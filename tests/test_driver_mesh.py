@@ -43,6 +43,12 @@ def _cfg():
         detector=DetectorConfig(num_classes=2, image_size=32, max_iter=2,
                                 images_per_batch=8, warmup_iters=1),
         bilevel=BilevelConfig(n_epochs=1, opt_lr=1e-3, opt_method="momentum",
+                              # f32 psi chain: this module certifies
+                              # SHARDING invariance at tight tolerance;
+                              # the round-5 bf16 default (hardware-gated
+                              # at 400^2 magnitudes) adds emulated-bf16
+                              # rounding noise on CPU that swamps rtol
+                              grad_compute_dtype="float32",
                               psi_pose_cats_mode="uniform",
                               ihvp_solver="onestep", grad_e_max_images=2),
     )
